@@ -1,0 +1,264 @@
+"""Device-side scene buffers: the TPU analog of ``SceneGPU``.
+
+The reference uploads instances/materials/BVH nodes/BVH tris/vertices/lights
+as storage buffers + a texture atlas (`crates/lib/src/scene.rs:123-188`).
+Here scene upload = flatten every instance to world space, build ONE global
+threaded BVH over the whole triangle soup (see accel/bvh.py for why), and
+ship flat float32/int32 jax arrays to HBM as a frozen pytree.
+
+All leading dimensions are padded to multiples of 128 so downstream kernels
+see lane-aligned shapes and recompiles are bucketed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..accel.bvh import FlatBVH, build_bvh
+from .atlas import pack_atlas
+from .hdr import Probe
+from .types import INVALID_INDEX, Scene, pad_rows
+
+_PAD = 128
+
+
+def _ceil_to(n: int, m: int = _PAD) -> int:
+    return max(((n + m - 1) // m) * m, m)
+
+
+@struct.dataclass
+class SceneBuffers:
+    """Frozen pytree of HBM-resident flat arrays (SceneGPU analog)."""
+
+    # Triangles, reordered to match BVH leaves. (T, 3)/(T, 2) float32.
+    tri_p0: jnp.ndarray
+    tri_e1: jnp.ndarray  # p1 - p0 (Moller-Trumbore precompute)
+    tri_e2: jnp.ndarray  # p2 - p0
+    tri_n0: jnp.ndarray
+    tri_n1: jnp.ndarray
+    tri_n2: jnp.ndarray
+    tri_uv0: jnp.ndarray
+    tri_uv1: jnp.ndarray
+    tri_uv2: jnp.ndarray
+    tri_mat: jnp.ndarray  # (T,) int32 material id
+    tri_inst: jnp.ndarray  # (T,) int32 instance id (gbuffer mesh id)
+
+    # Threaded BVH (accel/bvh.py layout).
+    node_min: jnp.ndarray  # (N, 3) float32
+    node_max: jnp.ndarray  # (N, 3) float32
+    node_first: jnp.ndarray  # (N,) int32
+    node_count: jnp.ndarray  # (N,) int32
+    node_miss: jnp.ndarray  # (N,) int32
+
+    # Materials (M,...) — layout mirrors albedo_rtx Material fields.
+    mat_color: jnp.ndarray  # (M, 4) float32
+    mat_roughness: jnp.ndarray  # (M,) float32
+    mat_metallic: jnp.ndarray  # (M,) float32 ("reflectivity")
+    mat_albedo_tex: jnp.ndarray  # (M,) int32, -1 = none
+    mat_mra_tex: jnp.ndarray  # (M,) int32, -1 = none
+    mat_emission: jnp.ndarray  # (M, 3) float32
+
+    # Quad area lights (L,...).
+    light_origin: jnp.ndarray  # (L, 3)
+    light_eu: jnp.ndarray  # (L, 3)
+    light_ev: jnp.ndarray  # (L, 3)
+    light_emission: jnp.ndarray  # (L, 3), premultiplied by intensity
+
+    # Texture atlas.
+    atlas: jnp.ndarray  # (layers, S, S, 4) uint8
+    atlas_blocks: jnp.ndarray  # (K, 5) int32
+
+    # Environment probe (zeros-shaped placeholders when absent).
+    probe: jnp.ndarray  # (Hp, Wp, 3) float32
+    probe_cdf_cond: jnp.ndarray  # (Hp, Wp) float32
+    probe_cdf_marg: jnp.ndarray  # (Hp,) float32
+    probe_pdf: jnp.ndarray  # (Hp, Wp) float32
+
+    # Static metadata (not traced).
+    num_tris: int = struct.field(pytree_node=False, default=0)
+    num_nodes: int = struct.field(pytree_node=False, default=0)
+    num_lights: int = struct.field(pytree_node=False, default=0)
+    has_probe: bool = struct.field(pytree_node=False, default=False)
+    end_index: int = struct.field(pytree_node=False, default=0)
+
+
+def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
+                        atlas_size: int = 2048) -> SceneBuffers:
+    """Flatten + BVH-build + upload (SceneGPU::new_from_scene analog)."""
+    p0s, p1s, p2s = [], [], []
+    n0s, n1s, n2s = [], [], []
+    uv0s, uv1s, uv2s = [], [], []
+    mats, insts = [], []
+
+    for inst_id, inst in enumerate(scene.instances):
+        mesh = scene.meshes[inst.mesh_index]
+        m = inst.model_to_world
+        pos = mesh.positions @ m[:3, :3].T + m[:3, 3]
+        if mesh.normals is not None:
+            nrm_mat = np.linalg.inv(m[:3, :3]).T
+            nrm = mesh.normals @ nrm_mat.T
+            nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
+        else:
+            nrm = None
+        idx = mesh.indices.reshape(-1, 3).astype(np.int64)
+        a, b, c = pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
+        p0s.append(a)
+        p1s.append(b)
+        p2s.append(c)
+        if nrm is None:
+            # Facet normals when the mesh has none (binary loader semantics).
+            fn = np.cross(b - a, c - a)
+            fn = fn / np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-20)
+            n0s.append(fn)
+            n1s.append(fn)
+            n2s.append(fn)
+        else:
+            n0s.append(nrm[idx[:, 0]])
+            n1s.append(nrm[idx[:, 1]])
+            n2s.append(nrm[idx[:, 2]])
+        if mesh.texcoords is not None:
+            uv = mesh.texcoords
+            uv0s.append(uv[idx[:, 0]])
+            uv1s.append(uv[idx[:, 1]])
+            uv2s.append(uv[idx[:, 2]])
+        else:
+            z = np.zeros((len(idx), 2), np.float32)
+            uv0s.append(z)
+            uv1s.append(z)
+            uv2s.append(z)
+        mat_id = inst.material_index
+        if mat_id == int(INVALID_INDEX) or mat_id >= len(scene.materials):
+            mat_id = 0
+        mats.append(np.full(len(idx), mat_id, np.int32))
+        insts.append(np.full(len(idx), inst_id, np.int32))
+
+    if not p0s:
+        # Empty scene: a single degenerate triangle far away keeps every
+        # kernel shape valid (the reference's default BLAS entry analog,
+        # scene.rs:43-49).
+        far = np.full((1, 3), 1e30, np.float32)
+        p0s, p1s, p2s = [far], [far], [far]
+        up = np.array([[0, 1, 0]], np.float32)
+        n0s, n1s, n2s = [up], [up], [up]
+        z = np.zeros((1, 2), np.float32)
+        uv0s, uv1s, uv2s = [z], [z], [z]
+        mats, insts = [np.zeros(1, np.int32)], [np.zeros(1, np.int32)]
+
+    p0 = np.concatenate(p0s).astype(np.float32)
+    p1 = np.concatenate(p1s).astype(np.float32)
+    p2 = np.concatenate(p2s).astype(np.float32)
+    bvh: FlatBVH = build_bvh(p0, p1, p2)
+    order = bvh.tri_order
+
+    def cat(parts):
+        return np.concatenate(parts).astype(np.float32)[order]
+
+    p0, p1, p2 = p0[order], p1[order], p2[order]
+    n0, n1, n2 = cat(n0s), cat(n1s), cat(n2s)
+    uv0, uv1, uv2 = cat(uv0s), cat(uv1s), cat(uv2s)
+    tri_mat = np.concatenate(mats)[order]
+    tri_inst = np.concatenate(insts)[order]
+
+    T = p0.shape[0]
+    Tp = _ceil_to(T)
+    N = bvh.num_nodes
+    Np = _ceil_to(N)
+
+    # Padding triangles: degenerate (e1 = e2 = 0) never hits.
+    def padt(a, fill=0.0):
+        return pad_rows(a, Tp, fill)
+
+    node_min = pad_rows(bvh.node_min, Np, 1e30)
+    node_max = pad_rows(bvh.node_max, Np, -1e30)
+    node_first = pad_rows(bvh.first, Np, 0)
+    node_count = pad_rows(bvh.count, Np, 0)
+    node_miss = pad_rows(bvh.miss, Np, N)
+
+    # Materials.
+    M = max(len(scene.materials), 1)
+    Mp = _ceil_to(M, 8)
+    mat_color = np.ones((Mp, 4), np.float32)
+    mat_roughness = np.ones(Mp, np.float32)
+    mat_metallic = np.zeros(Mp, np.float32)
+    mat_albedo_tex = np.full(Mp, -1, np.int32)
+    mat_mra_tex = np.full(Mp, -1, np.int32)
+    mat_emission = np.zeros((Mp, 3), np.float32)
+    for i, mt in enumerate(scene.materials):
+        mat_color[i] = mt.color
+        mat_roughness[i] = mt.roughness
+        mat_metallic[i] = mt.reflectivity
+        mat_albedo_tex[i] = -1 if mt.albedo_texture == int(INVALID_INDEX) else mt.albedo_texture
+        mat_mra_tex[i] = -1 if mt.mra_texture == int(INVALID_INDEX) else mt.mra_texture
+        mat_emission[i] = mt.emission
+
+    # Lights.
+    L = max(len(scene.lights), 1)
+    Lp = _ceil_to(L, 8)
+    light_origin = np.zeros((Lp, 3), np.float32)
+    light_eu = np.zeros((Lp, 3), np.float32)
+    light_ev = np.zeros((Lp, 3), np.float32)
+    light_emission = np.zeros((Lp, 3), np.float32)
+    for i, lt in enumerate(scene.lights):
+        light_origin[i] = lt.origin
+        light_eu[i] = lt.edge_u
+        light_ev[i] = lt.edge_v
+        light_emission[i] = lt.emission * lt.intensity
+
+    atlas = pack_atlas(scene.images, atlas_size)
+
+    if probe is not None:
+        pr = probe.radiance
+        pc = probe.cdf_cond
+        pm = probe.cdf_marg
+        pp = probe.pdf
+        has_probe = True
+    else:
+        pr = np.zeros((1, 1, 3), np.float32)
+        pc = np.ones((1, 1), np.float32)
+        pm = np.ones(1, np.float32)
+        pp = np.full((1, 1), 1.0 / (4.0 * np.pi), np.float32)
+        has_probe = False
+
+    return SceneBuffers(
+        tri_p0=jnp.asarray(padt(p0, 1e30)),
+        tri_e1=jnp.asarray(padt(p1 - p0)),
+        tri_e2=jnp.asarray(padt(p2 - p0)),
+        tri_n0=jnp.asarray(padt(n0)),
+        tri_n1=jnp.asarray(padt(n1)),
+        tri_n2=jnp.asarray(padt(n2)),
+        tri_uv0=jnp.asarray(padt(uv0)),
+        tri_uv1=jnp.asarray(padt(uv1)),
+        tri_uv2=jnp.asarray(padt(uv2)),
+        tri_mat=jnp.asarray(pad_rows(tri_mat, Tp, 0)),
+        tri_inst=jnp.asarray(pad_rows(tri_inst, Tp, -1)),
+        node_min=jnp.asarray(node_min),
+        node_max=jnp.asarray(node_max),
+        node_first=jnp.asarray(node_first),
+        node_count=jnp.asarray(node_count),
+        node_miss=jnp.asarray(node_miss),
+        mat_color=jnp.asarray(mat_color),
+        mat_roughness=jnp.asarray(mat_roughness),
+        mat_metallic=jnp.asarray(mat_metallic),
+        mat_albedo_tex=jnp.asarray(mat_albedo_tex),
+        mat_mra_tex=jnp.asarray(mat_mra_tex),
+        mat_emission=jnp.asarray(mat_emission),
+        light_origin=jnp.asarray(light_origin),
+        light_eu=jnp.asarray(light_eu),
+        light_ev=jnp.asarray(light_ev),
+        light_emission=jnp.asarray(light_emission),
+        atlas=jnp.asarray(atlas.texture),
+        atlas_blocks=jnp.asarray(atlas.blocks),
+        probe=jnp.asarray(pr),
+        probe_cdf_cond=jnp.asarray(pc),
+        probe_cdf_marg=jnp.asarray(pm),
+        probe_pdf=jnp.asarray(pp),
+        num_tris=T,
+        num_nodes=N,
+        num_lights=len(scene.lights),
+        has_probe=has_probe,
+        end_index=N,
+    )

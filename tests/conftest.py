@@ -1,0 +1,45 @@
+"""Test config: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is unavailable in CI; the standard JAX analog is
+``xla_force_host_platform_device_count`` (SURVEY.md §4).
+
+Note: this image injects an `axon` TPU PJRT plugin via sitecustomize that
+overrides JAX_PLATFORMS from the environment; ``jax.config.update`` wins
+over it, so we force the CPU platform in-process.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+CORNELL = "/root/reference/assets/cornell-box.glb"
+
+
+@pytest.fixture(scope="session")
+def cornell_scene():
+    from loupiote_tpu.scene import Scene, load_gltf_path
+
+    scene = Scene.default()
+    load_gltf_path(CORNELL, scene)
+    return scene
+
+
+@pytest.fixture(scope="session")
+def cornell_buffers(cornell_scene):
+    from loupiote_tpu.scene import build_scene_buffers
+
+    return build_scene_buffers(cornell_scene)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
