@@ -1,0 +1,43 @@
+"""Camera ray generation (the RayPass analog, renderer.rs:444-448).
+
+One ray per pixel from a pinhole camera whose basis is the camera-to-world
+transform columns (right, up, forward — see render/camera.py). Sub-pixel
+jitter comes from the caller's sampler (uniform or blue-noise).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def generate_rays(cam_to_world: jnp.ndarray, width: int, height: int,
+                  vfov: float, jitter: jnp.ndarray):
+    """Returns (ro, rd): ((R,3), (R,3)) with R = width * height.
+
+    Pixel (0, 0) is the top-left corner; rows are raveled row-major so
+    reshaping to (height, width, 3) yields an image.
+    ``jitter``: (R, 2) in [0,1) sub-pixel offsets.
+    """
+    right = cam_to_world[:3, 0]
+    up = cam_to_world[:3, 1]
+    forward = cam_to_world[:3, 2]
+    origin = cam_to_world[:3, 3]
+
+    aspect = width / height
+    tan_half = jnp.tan(vfov / 2.0)
+
+    yy, xx = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
+                          jnp.arange(width, dtype=jnp.float32), indexing="ij")
+    px = xx.reshape(-1) + jitter[:, 0]
+    py = yy.reshape(-1) + jitter[:, 1]
+
+    # NDC in [-1, 1]; image y grows down, camera up grows up.
+    ndc_x = (px / width) * 2.0 - 1.0
+    ndc_y = 1.0 - (py / height) * 2.0
+
+    d = (right[None, :] * (ndc_x * tan_half * aspect)[:, None]
+         + up[None, :] * (ndc_y * tan_half)[:, None]
+         + forward[None, :])
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    o = jnp.broadcast_to(origin, d.shape)
+    return o, d

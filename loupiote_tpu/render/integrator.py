@@ -1,0 +1,76 @@
+"""Path-tracing integrator: raygen -> [intersect -> shade] x bounces.
+
+This is the TPU-native replacement for the reference's per-frame dispatch
+sequence (`crates/lib/src/renderer.rs:392-549`): RayPass, IntersectorPass,
+PrimaryRayPass (bounce 0 + G-buffer/motion), then the
+IntersectorPass/ShadingPass wavefront loop. Here the whole frame is one
+jitted pure function over SoA ray batches; the bounce loop is a static
+Python loop (bounce count is a compile-time constant, = 3 in the reference).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.intersect import intersect_rays
+from ..ops.raygen import generate_rays
+from ..ops.shade import BounceState, decode_surface, shade_step
+
+
+class GBuffer(NamedTuple):
+    """First-bounce aux output (PrimaryRayPass analog, renderer.rs:466-481)."""
+
+    normal: jnp.ndarray  # (R,3) shading normal (0 on miss)
+    depth: jnp.ndarray  # (R,) hit distance (T_FAR on miss)
+    mesh_id: jnp.ndarray  # (R,) int32 instance id (-1 on miss)
+    albedo: jnp.ndarray  # (R,3) surface albedo for SVGF demodulation
+    world_pos: jnp.ndarray  # (R,3) hit position (for motion vectors)
+
+
+def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
+                key, bounces: int = 3, vfov: float = 0.7853982,
+                nee: bool = True, jitter: jnp.ndarray | None = None):
+    """Trace one sample per pixel. Returns (radiance (R,3), GBuffer)."""
+    R = width * height
+    k_jit, k_bounce = jax.random.split(key)
+    if jitter is None:
+        jitter = jax.random.uniform(k_jit, (R, 2))
+    ro, rd = generate_rays(cam_to_world, width, height, vfov, jitter)
+
+    state = BounceState(
+        ro=ro, rd=rd,
+        throughput=jnp.ones((R, 3)),
+        radiance=jnp.zeros((R, 3)),
+        alive=jnp.ones(R, jnp.bool_),
+        bsdf_pdf=jnp.zeros(R),
+        use_mis=jnp.zeros(R, jnp.bool_),
+    )
+
+    gbuffer = None
+    for bounce in range(bounces):
+        hit = intersect_rays(scene, state.ro, state.rd, active=state.alive)
+        if bounce == 0:
+            surf0 = decode_surface(scene, state.ro, state.rd, hit)
+            missed = hit.tri < 0
+            gbuffer = GBuffer(
+                normal=jnp.where(missed[:, None], 0.0, surf0.n_shade),
+                depth=hit.t,
+                mesh_id=jnp.where(missed, -1, surf0.inst_id),
+                albedo=jnp.where(missed[:, None], 1.0, surf0.albedo),
+                world_pos=surf0.pos,
+            )
+        k_bounce, k_step = jax.random.split(k_bounce)
+        state, _ = shade_step(scene, state, hit, k_step, nee=nee)
+
+    return state.radiance, gbuffer
+
+
+def accumulate(accum: jnp.ndarray, sample: jnp.ndarray,
+               frame_count: jnp.ndarray) -> jnp.ndarray:
+    """Progressive running average (AccumulationPass analog,
+    renderer.rs:523-537): out = lerp(accum, sample, 1/frame_count)."""
+    w = 1.0 / jnp.maximum(frame_count.astype(jnp.float32), 1.0)
+    return accum + (sample - accum) * w

@@ -1,0 +1,213 @@
+"""Renderer: owns frame state and the jitted frame pipeline.
+
+API mirrors the reference ``Renderer`` (`crates/lib/src/renderer.rs:169-859`):
+``new/resize/raytrace/blit/read_pixels/set_resources/upload_noise_texture/
+use_noise_texture/set_blit_mode/reset_accumulation/get_size`` — with wgpu
+bind groups/encoders replaced by one jitted pure function over pytrees:
+
+    render_frame(scene, state, camera, flags) -> new state
+
+State (accumulation targets, frame count, RNG key, previous matrices,
+G-buffer) is a frozen pytree living on device; host code only flips small
+flags and feeds camera transforms, keeping host<->device traffic out of the
+hot loop (the reference re-uploads uniforms per bounce, renderer.rs:487-490;
+here seeds/bounce ids are traced constants folded into the compiled frame).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..config import BlitMode, RenderConfig, clamp_size, downsampled_size
+from ..ops.tonemap import to_display
+from ..scene.buffers import SceneBuffers
+from .camera import Camera
+from .integrator import accumulate, trace_paths
+
+
+@struct.dataclass
+class RenderState:
+    """Per-session device state (render targets + uniforms analog)."""
+
+    accum: jnp.ndarray  # (H, W, 3) float32 running average (RenderTargets)
+    frame_count: jnp.ndarray  # () int32 (PerDrawUniforms.frame_count)
+    key: jnp.ndarray  # PRNG key (PerDrawUniforms.seed analog)
+    prev_world_to_screen: jnp.ndarray  # (4, 4) (renderer.rs:542-546)
+    # First-bounce G-buffer of the last frame (PrimaryRayPass outputs).
+    gb_normal: jnp.ndarray  # (H, W, 3)
+    gb_depth: jnp.ndarray  # (H, W)
+    gb_mesh: jnp.ndarray  # (H, W) int32
+    gb_albedo: jnp.ndarray  # (H, W, 3)
+    motion: jnp.ndarray  # (H, W, 2) uv motion vectors
+
+
+def _init_state(width: int, height: int, seed: int = 0) -> RenderState:
+    h, w = height, width
+    return RenderState(
+        accum=jnp.zeros((h, w, 3), jnp.float32),
+        frame_count=jnp.int32(1),
+        key=jax.random.PRNGKey(seed),
+        prev_world_to_screen=jnp.eye(4, dtype=jnp.float32),
+        gb_normal=jnp.zeros((h, w, 3), jnp.float32),
+        gb_depth=jnp.zeros((h, w), jnp.float32),
+        gb_mesh=jnp.full((h, w), -1, jnp.int32),
+        gb_albedo=jnp.ones((h, w, 3), jnp.float32),
+        motion=jnp.zeros((h, w, 2), jnp.float32),
+    )
+
+
+def _project_uv(world_to_screen: jnp.ndarray, pos: jnp.ndarray):
+    """World (R,3) -> screen uv in [0,1] (y down) + clip w."""
+    p = jnp.concatenate([pos, jnp.ones_like(pos[:, :1])], axis=1)
+    clip = p @ world_to_screen.T
+    w = clip[:, 3]
+    ndc = clip[:, :2] / jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)[:, None]
+    uv = jnp.stack([(ndc[:, 0] + 1.0) * 0.5, (1.0 - ndc[:, 1]) * 0.5], axis=1)
+    return uv, w
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "bounces",
+                                             "nee", "vfov"))
+def render_frame(scene: SceneBuffers, state: RenderState,
+                 cam_to_world: jnp.ndarray, world_to_screen: jnp.ndarray,
+                 accumulate_flag: jnp.ndarray, *, width: int, height: int,
+                 bounces: int, nee: bool, vfov: float) -> RenderState:
+    """One progressive frame (raytrace() analog, renderer.rs:392-549)."""
+    key, k_frame = jax.random.split(state.key)
+    sample, gb = trace_paths(scene, cam_to_world, width, height, k_frame,
+                             bounces=bounces, vfov=vfov, nee=nee)
+    img = sample.reshape(height, width, 3)
+
+    new_accum = accumulate(state.accum, img, state.frame_count)
+    new_count = jnp.where(accumulate_flag, state.frame_count + 1, jnp.int32(1))
+
+    # Motion vectors: previous-frame screen uv minus current pixel uv
+    # (PrimaryRayPass writes these from prev_model_to_screen,
+    # renderer.rs:472-479).
+    uv_prev, w_prev = _project_uv(state.prev_world_to_screen, gb.world_pos)
+    yy, xx = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
+                          jnp.arange(width, dtype=jnp.float32), indexing="ij")
+    uv_curr = jnp.stack([(xx.reshape(-1) + 0.5) / width,
+                         (yy.reshape(-1) + 0.5) / height], axis=1)
+    valid = (gb.mesh_id >= 0) & (w_prev > 0)
+    motion = jnp.where(valid[:, None], uv_prev - uv_curr, 0.0)
+
+    return state.replace(
+        accum=new_accum,
+        frame_count=new_count,
+        key=key,
+        prev_world_to_screen=world_to_screen,
+        gb_normal=gb.normal.reshape(height, width, 3),
+        gb_depth=gb.depth.reshape(height, width),
+        gb_mesh=gb.mesh_id.reshape(height, width),
+        gb_albedo=gb.albedo.reshape(height, width, 3),
+        motion=motion.reshape(height, width, 2),
+    )
+
+
+class Renderer:
+    """Stateful façade over the jitted pipeline (Renderer analog)."""
+
+    def __init__(self, size: tuple, config: Optional[RenderConfig] = None,
+                 seed: int = 0):
+        self.config = config or RenderConfig()
+        self.downsample_factor = self.config.downsample_factor
+        self._seed = seed
+        self.accumulate = False
+        self.mode = BlitMode.PATHTRACE
+        self.use_noise = False
+        self.noise_texture: Optional[np.ndarray] = None
+        self.scene: Optional[SceneBuffers] = None
+        self.queries = None  # timing hook, installed by app layer
+        self._set_size(size)
+
+    # -- sizing ------------------------------------------------------------
+    def _set_size(self, size: tuple) -> None:
+        w, h = clamp_size(size[0], size[1], self.config)
+        w, h = downsampled_size(w, h, self.downsample_factor)
+        self.size = (max(w, 1), max(h, 1))
+        self.state = _init_state(self.size[0], self.size[1], self._seed)
+
+    def resize(self, size: tuple) -> None:
+        """Realloc frame state (renderer.rs:326-358)."""
+        self._set_size(size)
+
+    def get_size(self) -> tuple:
+        return self.size
+
+    # -- resources ---------------------------------------------------------
+    def set_resources(self, scene: SceneBuffers) -> None:
+        """Bind a scene; resets accumulation (renderer.rs:687-725)."""
+        self.scene = scene
+        self.state = self.state.replace(frame_count=jnp.int32(1))
+
+    def upload_noise_texture(self, data: np.ndarray) -> None:
+        self.noise_texture = np.asarray(data, np.uint8)
+
+    def use_noise_texture(self, flag: bool) -> None:
+        self.use_noise = bool(flag)
+
+    def set_blit_mode(self, mode: BlitMode) -> None:
+        self.mode = mode
+
+    def reset_accumulation(self) -> None:
+        """frame_count = 1 (renderer.rs:609-618)."""
+        self.accumulate = False
+        self.state = self.state.replace(frame_count=jnp.int32(1))
+
+    # -- frame -------------------------------------------------------------
+    def raytrace(self, view_transform: np.ndarray) -> None:
+        """Render one progressive frame with the given camera-to-world."""
+        if self.scene is None:
+            return  # no scene bound: bail like renderer.rs:404-407
+        cam = Camera(np.asarray(view_transform, np.float32), self.size,
+                     np.deg2rad(self.config.vfov_deg))
+        bounces = (self.config.bounces_static if self.accumulate
+                   else self.config.bounces_moving)
+        self.state = render_frame(
+            self.scene, self.state,
+            jnp.asarray(cam.transform),
+            jnp.asarray(cam.world_to_screen(self.config.near, self.config.far)),
+            jnp.bool_(self.accumulate),
+            width=self.size[0], height=self.size[1],
+            bounces=bounces, nee=self.config.nee,
+            vfov=float(np.deg2rad(self.config.vfov_deg)),
+        )
+
+    # -- display -----------------------------------------------------------
+    def blit(self) -> np.ndarray:
+        """(H, W, 3) uint8 display image for the current mode
+        (renderer.rs:551-607)."""
+        s = self.state
+        if self.mode in (BlitMode.PATHTRACE, BlitMode.DENOISED_PATHTRACE,
+                         BlitMode.TEMPORAL):
+            hdr = s.accum
+            return np.asarray(to_display(hdr, self.config.tonemap))
+        if self.mode == BlitMode.GBUFFER:
+            vis = np.asarray(s.gb_normal) * 0.5 + 0.5
+            vis[np.asarray(s.gb_mesh) < 0] = 0.0
+            return (vis * 255).astype(np.uint8)
+        if self.mode == BlitMode.MOTION_VECTOR:
+            mv = np.asarray(s.motion)
+            vis = np.zeros(mv.shape[:2] + (3,), np.float32)
+            vis[..., :2] = np.clip(np.abs(mv) * 20.0, 0, 1)
+            return (vis * 255).astype(np.uint8)
+        raise ValueError(f"unknown blit mode {self.mode}")
+
+    def read_pixels(self) -> bytes:
+        """RGBA8 bytes of the displayed image (renderer.rs:727-811)."""
+        rgb = self.blit()
+        rgba = np.concatenate(
+            [rgb, np.full(rgb.shape[:2] + (1,), 255, np.uint8)], axis=2)
+        return rgba.tobytes()
+
+    def reload_shaders(self) -> None:
+        """Hot-reload analog: drop compiled-function caches
+        (renderer.rs:360-390)."""
+        render_frame.clear_cache()

@@ -78,6 +78,13 @@ class SceneBuffers:
     probe_cdf_marg: jnp.ndarray  # (Hp,) float32
     probe_pdf: jnp.ndarray  # (Hp, Wp) float32
 
+    # Packed gather-friendly copies for the traversal hot loop: one row
+    # gather per step instead of five (ops/intersect.py).
+    # node_pack: [min.xyz, max.xyz, first, count, miss] (ints bitcast to f32)
+    node_pack: jnp.ndarray = None  # (N, 9) float32
+    # tri_pack: [p0.xyz, e1.xyz, e2.xyz]
+    tri_pack: jnp.ndarray = None  # (T, 9) float32
+
     # Static metadata (not traced).
     num_tris: int = struct.field(pytree_node=False, default=0)
     num_nodes: int = struct.field(pytree_node=False, default=0)
@@ -210,6 +217,16 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
 
     atlas = pack_atlas(scene.images, atlas_size)
 
+    e1 = (p1 - p0).astype(np.float32)
+    e2 = (p2 - p0).astype(np.float32)
+    node_pack = np.concatenate([
+        node_min, node_max,
+        node_first.astype(np.int32).view(np.float32)[:, None],
+        node_count.astype(np.int32).view(np.float32)[:, None],
+        node_miss.astype(np.int32).view(np.float32)[:, None],
+    ], axis=1).astype(np.float32)
+    tri_pack = np.concatenate([padt(p0, 1e30), padt(e1), padt(e2)], axis=1)
+
     if probe is not None:
         pr = probe.radiance
         pc = probe.cdf_cond
@@ -256,6 +273,8 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
         probe_cdf_cond=jnp.asarray(pc),
         probe_cdf_marg=jnp.asarray(pm),
         probe_pdf=jnp.asarray(pp),
+        node_pack=jnp.asarray(node_pack),
+        tri_pack=jnp.asarray(tri_pack),
         num_tris=T,
         num_nodes=N,
         num_lights=len(scene.lights),

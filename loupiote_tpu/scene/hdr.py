@@ -48,12 +48,18 @@ def read_hdr(path_or_bytes) -> np.ndarray:
 
 @dataclass
 class Probe:
-    """Equirect environment probe + luminance CDFs for importance sampling."""
+    """Equirect environment probe + luminance CDFs for importance sampling.
+
+    The CDF/pdf tables live on a *coarse* grid (capped at ``SAMPLE_RES``) so
+    per-ray CDF bisection in ops/env.py stays cheap; radiance remains full
+    resolution. Sampling from the coarse distribution with its own exact pdf
+    keeps the estimator unbiased.
+    """
 
     radiance: np.ndarray  # (H, W, 3) float32
-    cdf_cond: np.ndarray  # (H, W) float32: per-row conditional CDF over columns
-    cdf_marg: np.ndarray  # (H,) float32: marginal CDF over rows
-    pdf: np.ndarray  # (H, W) float32: solid-angle-weighted pdf (per texel)
+    cdf_cond: np.ndarray  # (Hc, Wc) float32: per-row conditional CDF
+    cdf_marg: np.ndarray  # (Hc,) float32: marginal CDF over rows
+    pdf: np.ndarray  # (Hc, Wc) float32: solid-angle pdf (per coarse texel)
 
     @property
     def width(self) -> int:
@@ -64,22 +70,34 @@ class Probe:
         return self.radiance.shape[0]
 
 
-def build_probe(radiance: np.ndarray) -> Probe:
+SAMPLE_RES = (64, 128)  # (Hc, Wc) cap for the sampling grid
+
+
+def build_probe(radiance: np.ndarray, sample_res=SAMPLE_RES) -> Probe:
     h, w = radiance.shape[:2]
     lum = (0.2126 * radiance[..., 0] + 0.7152 * radiance[..., 1]
            + 0.0722 * radiance[..., 2]).astype(np.float64)
+
+    hc, wc = min(h, sample_res[0]), min(w, sample_res[1])
+    if (hc, wc) != (h, w):
+        import cv2
+
+        lum_c = cv2.resize(lum, (wc, hc), interpolation=cv2.INTER_AREA)
+    else:
+        lum_c = lum
+
     # sin(theta) weight for equirect solid-angle measure.
-    theta = (np.arange(h, dtype=np.float64) + 0.5) / h * np.pi
-    weight = lum * np.sin(theta)[:, None]
+    theta = (np.arange(hc, dtype=np.float64) + 0.5) / hc * np.pi
+    weight = lum_c * np.sin(theta)[:, None]
     weight = np.maximum(weight, 1e-12)
 
     row_sum = weight.sum(axis=1)
     cdf_cond = np.cumsum(weight, axis=1) / row_sum[:, None]
     cdf_marg = np.cumsum(row_sum) / row_sum.sum()
 
-    # pdf over (u, v) texel grid in solid-angle measure:
+    # pdf over the coarse (u, v) texel grid in solid-angle measure:
     # p(dir) = p(u,v) / (2 pi^2 sin(theta))
-    p_uv = weight / weight.sum() * (h * w)
+    p_uv = weight / weight.sum() * (hc * wc)
     sin_t = np.maximum(np.sin(theta), 1e-8)
     pdf = p_uv / (2.0 * np.pi * np.pi * sin_t[:, None])
 

@@ -1,0 +1,186 @@
+"""Integrator + Renderer tests: furnace closure, Cornell statistics,
+progressive accumulation semantics."""
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import pytest
+
+from loupiote_tpu.config import BlitMode, RenderConfig
+from loupiote_tpu.render import Renderer, trace_paths
+from loupiote_tpu.render.camera import CameraController
+from loupiote_tpu.scene import Light, Scene, build_probe, build_scene_buffers
+from loupiote_tpu.scene.types import Instance, Mesh
+
+
+def look_at_matrix(origin, forward):
+    fwd = np.asarray(forward, np.float32)
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(fwd, [0, 1, 0])
+    right = right / np.linalg.norm(right)
+    up = np.cross(right, fwd)
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 0], m[:3, 1], m[:3, 2], m[:3, 3] = right, up, fwd, origin
+    return m
+
+
+def cornell_with_light(cornell_scene):
+    import copy
+
+    s = copy.copy(cornell_scene)
+    s.lights = [Light(
+        origin=np.array([-1.0, 3.55, -0.8], np.float32),
+        edge_u=np.array([2.0, 0.0, 0.0], np.float32),
+        edge_v=np.array([0.0, 0.0, 1.6], np.float32),
+        emission=np.array([1.0, 1.0, 1.0], np.float32), intensity=20.0)]
+    return s
+
+
+CORNELL_CAM = look_at_matrix([0, 0.6, 12.0], [0, 0, -1])
+
+
+def test_furnace_empty_env():
+    probe = build_probe(np.ones((8, 16, 3), np.float32))
+    s = Scene.default()
+    s.lights = []
+    bufs = build_scene_buffers(s, probe=probe)
+    rad, gb = trace_paths(bufs, jnp.asarray(np.eye(4, dtype=np.float32)),
+                          16, 16, jr.PRNGKey(0), bounces=2)
+    np.testing.assert_allclose(np.asarray(rad), 1.0, atol=1e-5)
+    assert (np.asarray(gb.mesh_id) == -1).all()
+
+
+def test_furnace_diffuse_plane():
+    """White Lambertian plane under a uniform unit env reflects ~1."""
+    probe = build_probe(np.ones((8, 16, 3), np.float32))
+    s = Scene.default()
+    s.lights = []
+    q = 50.0
+    pos = np.array([[-q, 0, -q], [q, 0, -q], [q, 0, q], [-q, 0, q]], np.float32)
+    s.meshes.append(Mesh(pos, np.tile([[0, 1, 0]], (4, 1)).astype(np.float32),
+                         None, np.array([0, 1, 2, 0, 2, 3], np.uint32)))
+    s.instances.append(Instance(0, np.eye(4, dtype=np.float32), 0))
+    bufs = build_scene_buffers(s, probe=probe)
+    cam = look_at_matrix([0, 3, 0], [0, -1, -0.3])
+    acc = 0.0
+    n = 8
+    for i in range(n):
+        rad, _ = trace_paths(bufs, jnp.asarray(cam), 16, 16, jr.PRNGKey(i), bounces=4)
+        acc = acc + np.asarray(rad)
+    acc /= n
+    assert abs(acc.mean() - 1.0) < 0.05
+    assert acc.max() < 2.0  # no fireflies
+
+
+@pytest.fixture(scope="module")
+def cornell_bufs(cornell_scene):
+    return build_scene_buffers(cornell_with_light(cornell_scene))
+
+
+def test_cornell_color_bleeding(cornell_bufs):
+    w = h = 48
+    acc = 0.0
+    n = 6
+    for i in range(n):
+        rad, _ = trace_paths(cornell_bufs, jnp.asarray(CORNELL_CAM), w, h,
+                             jr.PRNGKey(i), bounces=3)
+        acc = acc + np.asarray(rad).reshape(h, w, 3)
+    acc /= n
+    assert acc.mean() > 0.01, "image is black"
+    left = acc[h // 4: 3 * h // 4, : w // 4]
+    right = acc[h // 4: 3 * h // 4, 3 * w // 4:]
+    # Red wall on the left, green wall on the right.
+    assert left[..., 0].mean() > 1.5 * left[..., 1].mean()
+    assert right[..., 1].mean() > 1.5 * right[..., 0].mean()
+
+
+def test_cornell_gbuffer(cornell_bufs):
+    w = h = 32
+    _, gb = trace_paths(cornell_bufs, jnp.asarray(CORNELL_CAM), w, h,
+                        jr.PRNGKey(0), bounces=1)
+    mesh = np.asarray(gb.mesh_id).reshape(h, w)
+    depth = np.asarray(gb.depth).reshape(h, w)
+    # Center pixels hit the box interior.
+    assert (mesh[h // 2, w // 2] >= 0)
+    assert 5.0 < depth[h // 2, w // 2] < 25.0
+    nrm = np.asarray(gb.normal).reshape(h, w, 3)
+    hit = mesh >= 0
+    lens = np.linalg.norm(nrm[hit], axis=1)
+    np.testing.assert_allclose(lens, 1.0, atol=1e-3)
+
+
+def test_renderer_accumulation_semantics(cornell_bufs):
+    r = Renderer((64, 64), RenderConfig(downsample_factor=0.5, denoise=False))
+    assert r.get_size() == (32, 32)
+    r.set_resources(cornell_bufs)
+
+    # Not accumulating: frame_count stays 1 (renderer.rs:523-537).
+    r.raytrace(CORNELL_CAM)
+    assert int(r.state.frame_count) == 1
+    img1 = r.blit()
+
+    r.accumulate = True
+    r.raytrace(CORNELL_CAM)
+    assert int(r.state.frame_count) == 2
+    r.raytrace(CORNELL_CAM)
+    assert int(r.state.frame_count) == 3
+
+    r.reset_accumulation()
+    assert int(r.state.frame_count) == 1
+    assert r.accumulate is False
+
+    assert img1.shape == (32, 32, 3) and img1.dtype == np.uint8
+
+
+def test_renderer_no_scene_noop():
+    r = Renderer((32, 32), RenderConfig(denoise=False))
+    r.raytrace(np.eye(4, dtype=np.float32))  # must not raise (renderer.rs:404)
+    assert int(r.state.frame_count) == 1
+
+
+def test_read_pixels(cornell_bufs):
+    r = Renderer((32, 32), RenderConfig(downsample_factor=1.0, denoise=False))
+    r.set_resources(cornell_bufs)
+    r.raytrace(CORNELL_CAM)
+    data = r.read_pixels()
+    assert len(data) == 32 * 32 * 4
+    rgba = np.frombuffer(data, np.uint8).reshape(32, 32, 4)
+    assert (rgba[..., 3] == 255).all()
+
+
+def test_camera_controller_matches_reference_semantics():
+    c = CameraController.from_origin_dir([0, 0, 0], [0, 0, -1])
+    assert c.is_static()
+    m = c.update(0.016)
+    # Columns are orthonormal right/up/forward.
+    basis = m[:3, :3]
+    np.testing.assert_allclose(basis.T @ basis, np.eye(3), atol=1e-5)
+    np.testing.assert_allclose(m[:3, 2], [0, 0, -1], atol=1e-6)
+
+    from loupiote_tpu.render.camera import CameraMoveCommand
+
+    c.set_command(CameraMoveCommand.FORWARD)
+    c.update(0.1)
+    assert not c.is_static()
+    assert c.origin[2] < 0  # moved along forward (-z)
+    c.unset_command(CameraMoveCommand.FORWARD)
+    for _ in range(200):
+        c.update(0.1)
+    assert c.is_static()  # damping settles
+
+
+def test_blit_modes(cornell_bufs):
+    r = Renderer((32, 32), RenderConfig(downsample_factor=1.0, denoise=False))
+    r.set_resources(cornell_bufs)
+    r.raytrace(CORNELL_CAM)
+    for mode in (BlitMode.PATHTRACE, BlitMode.GBUFFER, BlitMode.MOTION_VECTOR):
+        r.set_blit_mode(mode)
+        img = r.blit()
+        assert img.shape == (32, 32, 3)
+    # Static camera two frames -> zero motion vectors.
+    r.raytrace(CORNELL_CAM)
+    r.set_blit_mode(BlitMode.MOTION_VECTOR)
+    mv = np.asarray(r.state.motion)
+    # Static camera: motion is bounded by the sub-pixel AA jitter.
+    assert np.abs(mv).max() <= 1.5 / 32
