@@ -45,6 +45,12 @@ class RenderState:
     gb_mesh: jnp.ndarray  # (H, W) int32
     gb_albedo: jnp.ndarray  # (H, W, 3)
     motion: jnp.ndarray  # (H, W, 2) uv motion vectors
+    # A-SVGF ping-pong state (denoise/asvgf.py; reference asvgf.rs:9-152).
+    asvgf_illum: jnp.ndarray  # (H, W, 3) integrated illumination
+    asvgf_moments: jnp.ndarray  # (H, W, 2)
+    asvgf_history: jnp.ndarray  # (H, W)
+    denoised: jnp.ndarray  # (H, W, 3) last denoiser output
+    temporal_rgb: jnp.ndarray  # (H, W, 3) temporal-pass debug output
 
 
 def _init_state(width: int, height: int, seed: int = 0) -> RenderState:
@@ -59,6 +65,11 @@ def _init_state(width: int, height: int, seed: int = 0) -> RenderState:
         gb_mesh=jnp.full((h, w), -1, jnp.int32),
         gb_albedo=jnp.ones((h, w, 3), jnp.float32),
         motion=jnp.zeros((h, w, 2), jnp.float32),
+        asvgf_illum=jnp.zeros((h, w, 3), jnp.float32),
+        asvgf_moments=jnp.zeros((h, w, 2), jnp.float32),
+        asvgf_history=jnp.zeros((h, w), jnp.float32),
+        denoised=jnp.zeros((h, w, 3), jnp.float32),
+        temporal_rgb=jnp.zeros((h, w, 3), jnp.float32),
     )
 
 
@@ -73,19 +84,24 @@ def _project_uv(world_to_screen: jnp.ndarray, pos: jnp.ndarray):
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "bounces",
-                                             "nee", "vfov"))
+                                             "nee", "vfov", "mode",
+                                             "atrous_iterations"))
 def render_frame(scene: SceneBuffers, state: RenderState,
                  cam_to_world: jnp.ndarray, world_to_screen: jnp.ndarray,
                  accumulate_flag: jnp.ndarray, *, width: int, height: int,
-                 bounces: int, nee: bool, vfov: float) -> RenderState:
-    """One progressive frame (raytrace() analog, renderer.rs:392-549)."""
+                 bounces: int, nee: bool, vfov: float,
+                 mode: str = "pathtrace",
+                 atrous_iterations: int = 4) -> RenderState:
+    """One progressive frame (raytrace() analog, renderer.rs:392-549).
+
+    ``mode``: 'pathtrace' runs progressive accumulation; 'denoised' runs the
+    full A-SVGF chain; 'temporal' only the temporal pass; 'none' neither
+    (debug blit modes) — mirroring the match at renderer.rs:512-540.
+    """
     key, k_frame = jax.random.split(state.key)
     sample, gb = trace_paths(scene, cam_to_world, width, height, k_frame,
                              bounces=bounces, vfov=vfov, nee=nee)
     img = sample.reshape(height, width, 3)
-
-    new_accum = accumulate(state.accum, img, state.frame_count)
-    new_count = jnp.where(accumulate_flag, state.frame_count + 1, jnp.int32(1))
 
     # Motion vectors: previous-frame screen uv minus current pixel uv
     # (PrimaryRayPass writes these from prev_model_to_screen,
@@ -96,19 +112,51 @@ def render_frame(scene: SceneBuffers, state: RenderState,
     uv_curr = jnp.stack([(xx.reshape(-1) + 0.5) / width,
                          (yy.reshape(-1) + 0.5) / height], axis=1)
     valid = (gb.mesh_id >= 0) & (w_prev > 0)
-    motion = jnp.where(valid[:, None], uv_prev - uv_curr, 0.0)
+    motion = (jnp.where(valid[:, None], uv_prev - uv_curr, 0.0)
+              .reshape(height, width, 2))
 
-    return state.replace(
-        accum=new_accum,
-        frame_count=new_count,
+    curr_normal = gb.normal.reshape(height, width, 3)
+    curr_depth = gb.depth.reshape(height, width)
+    curr_mesh = gb.mesh_id.reshape(height, width)
+    curr_albedo = gb.albedo.reshape(height, width, 3)
+
+    new = dict(
         key=key,
         prev_world_to_screen=world_to_screen,
-        gb_normal=gb.normal.reshape(height, width, 3),
-        gb_depth=gb.depth.reshape(height, width),
-        gb_mesh=gb.mesh_id.reshape(height, width),
-        gb_albedo=gb.albedo.reshape(height, width, 3),
-        motion=motion.reshape(height, width, 2),
+        gb_normal=curr_normal,
+        gb_depth=curr_depth,
+        gb_mesh=curr_mesh,
+        gb_albedo=curr_albedo,
+        motion=motion,
     )
+
+    if mode == "pathtrace":
+        new["accum"] = accumulate(state.accum, img, state.frame_count)
+        new["frame_count"] = jnp.where(accumulate_flag,
+                                       state.frame_count + 1, jnp.int32(1))
+    elif mode in ("denoised", "temporal"):
+        from ..denoise.asvgf import denoise, demodulate, modulate, temporal_reproject
+
+        if mode == "denoised":
+            out, t = denoise(img, curr_albedo, motion,
+                             curr_normal, curr_depth, curr_mesh,
+                             state.gb_normal, state.gb_depth, state.gb_mesh,
+                             state.asvgf_illum, state.asvgf_moments,
+                             state.asvgf_history,
+                             iterations=atrous_iterations)
+            new["denoised"] = out
+        else:
+            t = temporal_reproject(
+                demodulate(img, curr_albedo), motion,
+                curr_normal, curr_depth, curr_mesh,
+                state.gb_normal, state.gb_depth, state.gb_mesh,
+                state.asvgf_illum, state.asvgf_moments, state.asvgf_history)
+        new["asvgf_illum"] = t.illum
+        new["asvgf_moments"] = t.moments
+        new["asvgf_history"] = t.history
+        new["temporal_rgb"] = modulate(t.illum, curr_albedo)
+
+    return state.replace(**new)
 
 
 class Renderer:
@@ -170,6 +218,13 @@ class Renderer:
                      np.deg2rad(self.config.vfov_deg))
         bounces = (self.config.bounces_static if self.accumulate
                    else self.config.bounces_moving)
+        mode = {
+            BlitMode.PATHTRACE: "pathtrace",
+            BlitMode.DENOISED_PATHTRACE: "denoised",
+            BlitMode.TEMPORAL: "temporal",
+            BlitMode.GBUFFER: "none",
+            BlitMode.MOTION_VECTOR: "none",
+        }[self.mode]
         self.state = render_frame(
             self.scene, self.state,
             jnp.asarray(cam.transform),
@@ -178,6 +233,7 @@ class Renderer:
             width=self.size[0], height=self.size[1],
             bounces=bounces, nee=self.config.nee,
             vfov=float(np.deg2rad(self.config.vfov_deg)),
+            mode=mode, atrous_iterations=self.config.atrous_iterations,
         )
 
     # -- display -----------------------------------------------------------
@@ -185,10 +241,12 @@ class Renderer:
         """(H, W, 3) uint8 display image for the current mode
         (renderer.rs:551-607)."""
         s = self.state
-        if self.mode in (BlitMode.PATHTRACE, BlitMode.DENOISED_PATHTRACE,
-                         BlitMode.TEMPORAL):
-            hdr = s.accum
-            return np.asarray(to_display(hdr, self.config.tonemap))
+        if self.mode == BlitMode.PATHTRACE:
+            return np.asarray(to_display(s.accum, self.config.tonemap))
+        if self.mode == BlitMode.DENOISED_PATHTRACE:
+            return np.asarray(to_display(s.denoised, self.config.tonemap))
+        if self.mode == BlitMode.TEMPORAL:
+            return np.asarray(to_display(s.temporal_rgb, self.config.tonemap))
         if self.mode == BlitMode.GBUFFER:
             vis = np.asarray(s.gb_normal) * 0.5 + 0.5
             vis[np.asarray(s.gb_mesh) < 0] = 0.0
