@@ -25,6 +25,7 @@ Traversal contract (see ops/intersect.py):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -49,6 +50,8 @@ class FlatBVH:
     first: np.ndarray  # (N,) int32
     count: np.ndarray  # (N,) int32
     miss: np.ndarray  # (N,) int32
+    right: np.ndarray  # (N,) int32 right child (-1 for leaves)
+    axis: np.ndarray  # (N,) int32 split axis (-1 for leaves)
     tri_order: np.ndarray  # (T,) int32
 
     @property
@@ -57,10 +60,20 @@ class FlatBVH:
 
 
 def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
-              leaf_max: int = LEAF_MAX) -> FlatBVH:
-    """Build a binned-SAH BVH2 over triangles (v0, v1, v2): (T, 3) float32."""
+              leaf_max: int = LEAF_MAX, use_native: bool = True) -> FlatBVH:
+    """Build a binned-SAH BVH2 over triangles (v0, v1, v2): (T, 3) float32.
+
+    Prefers the C++ builder (accel/native.py) when a toolchain is available;
+    the pure-numpy path below is the verified reference implementation.
+    """
     T = v0.shape[0]
     assert T > 0, "empty BVH"
+    if use_native and os.environ.get("LOUPIOTE_NO_NATIVE") != "1":
+        from .native import build_bvh_native
+
+        out = build_bvh_native(v0, v1, v2, leaf_max)
+        if out is not None:
+            return out
     tri_min = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
     tri_max = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)
     centroid = ((tri_min + tri_max) * 0.5).astype(np.float32)
@@ -77,7 +90,7 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     out_n = 0
 
     def ensure(extra):
-        nonlocal cap, n_min, n_max, n_first, n_count
+        nonlocal cap, n_min, n_max, n_first, n_count, split_axis
         if out_n + extra <= cap:
             return
         cap = max(cap * 2, out_n + extra)
@@ -85,10 +98,12 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         n_max = np.resize(n_max, (cap, 3))
         n_first = np.resize(n_first, cap)
         n_count = np.resize(n_count, cap)
+        split_axis = np.resize(split_axis, cap)
 
     # Explicit DFS stack: (index slice into `order`, slot_to_patch or -1)
     # Emitting in pre-order makes left child == parent + 1 by construction.
     right_patch = {}
+    split_axis = np.full(cap, -1, np.int32)
     stack = [(0, T, -1)]
     out_order = np.empty(T, dtype=np.int64)
     out_pos = 0
@@ -115,6 +130,7 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         if count <= leaf_max:
             n_first[me] = out_pos
             n_count[me] = count
+            split_axis[me] = -1
             out_order[out_pos:out_pos + count] = idx
             out_pos += count
             continue
@@ -137,6 +153,7 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
                 work[lo:lo + mid] = idx[mask]
                 work[lo + mid:hi] = idx[~mask]
 
+        split_axis[me] = axis
         n_count[me] = 0
         n_first[me] = me + 1  # left child, by pre-order construction
         # Push right first so left pops first (pre-order). The right child's
@@ -170,6 +187,8 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         first=first.astype(np.int32),
         count=count.astype(np.int32),
         miss=miss,
+        right=right,
+        axis=split_axis[:out_n].copy(),
         tri_order=out_order.astype(np.int32),
     )
 

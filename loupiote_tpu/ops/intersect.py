@@ -53,11 +53,15 @@ def intersect_rays(scene, ro, rd, tmax=None, active=None,
     """
     R = ro.shape[0]
     end = jnp.int32(scene.end_index)
-    node0 = jnp.zeros(R, jnp.int32)
+    # Derive loop-carry inits from the ray arrays (zero-cost, folded by XLA)
+    # so their sharding/varying types match the loop body under shard_map
+    # (both ro and rd: either may be the only varying input).
+    zero_r = (ro[:, 0] + rd[:, 0]) * 0.0
+    node0 = zero_r.astype(jnp.int32)
     if active is not None:
         node0 = jnp.where(active, node0, end)
 
-    t0 = jnp.full(R, T_FAR, jnp.float32) if tmax is None else tmax.astype(jnp.float32)
+    t0 = (zero_r + T_FAR) if tmax is None else (tmax.astype(jnp.float32) + zero_r)
     inv_d = 1.0 / jnp.where(jnp.abs(rd) > 1e-20, rd, jnp.where(rd >= 0, 1e-20, -1e-20))
 
     if max_steps is None:
@@ -130,14 +134,163 @@ def intersect_rays(scene, ro, rd, tmax=None, active=None,
 
         return S(nxt, t_best, tri_best, u_best, v_best, s.steps + 1)
 
-    init = S(node0, t0, jnp.full(R, INVALID_TRI), jnp.zeros(R, jnp.float32),
-             jnp.zeros(R, jnp.float32), jnp.int32(0))
+    init = S(node0, t0, zero_r.astype(jnp.int32) + INVALID_TRI,
+             zero_r, zero_r, jnp.int32(0))
     out = lax.while_loop(cond, body, init)
     return Hit(out.t, out.tri, out.u, out.v)
 
 
+PACKET_SIZE = 1024  # rays per packet (one 8x128 VREG tile)
+STACK_DEPTH = 64
+
+
+def intersect_packets(scene, ro, rd, tmax=None, active=None,
+                      any_hit: bool = False,
+                      max_steps: int | None = None,
+                      packet_size: int | None = None) -> Hit:
+    """Packet traversal: the TPU-native fast path.
+
+    Rays are grouped into packets of PACKET_SIZE; each packet shares ONE
+    traversal (a per-packet stack of ints). Per step, a packet fetches a
+    single BVH node row (K row gathers total, K = #packets) and broadcasts
+    it to all its rays: the AABB slab test and Moller-Trumbore run as dense
+    (K, P) VPU math with zero per-ray gathers. This trades redundant node
+    visits (a packet visits the union of its rays' nodes) for removing the
+    per-ray gather traffic that dominates SIMT-style traversal on TPU.
+
+    Requires ro.shape[0] % PACKET_SIZE == 0 (trace_paths arranges rays in
+    spatially coherent 8x128 pixel tiles so packet unions stay tight).
+    """
+    R = ro.shape[0]
+    P = packet_size or PACKET_SIZE
+    assert R % P == 0, f"ray count {R} not a multiple of {P}"
+    K = R // P
+    end = jnp.int32(scene.end_index)
+
+    ro_p = ro.reshape(K, P, 3)
+    rd_p = rd.reshape(K, P, 3)
+    inv_d = 1.0 / jnp.where(jnp.abs(rd_p) > 1e-20,
+                            rd_p, jnp.where(rd_p >= 0, 1e-20, -1e-20))
+
+    zero_rp = (ro_p[:, :, 0] + rd_p[:, :, 0]) * 0.0  # (K,P) vma-carrier
+    zero_k = zero_rp[:, 0]
+
+    t0 = (zero_rp + T_FAR) if tmax is None else (
+        tmax.reshape(K, P) + zero_rp)
+    ray_on = jnp.ones((K, P), jnp.bool_) if active is None else active.reshape(K, P)
+
+    if max_steps is None:
+        max_steps = 4 * scene.num_nodes + 64
+
+    class S(NamedTuple):
+        node: jnp.ndarray  # (K,)
+        ptr: jnp.ndarray  # (K,)
+        stack: jnp.ndarray  # (K, STACK_DEPTH)
+        done: jnp.ndarray  # (K,)
+        t: jnp.ndarray  # (K, P)
+        tri: jnp.ndarray  # (K, P)
+        u: jnp.ndarray  # (K, P)
+        v: jnp.ndarray  # (K, P)
+        blocked: jnp.ndarray  # (K, P) any-hit bookkeeping
+        steps: jnp.ndarray
+
+    def cond(s: S):
+        return jnp.logical_and(jnp.any(~s.done), s.steps < max_steps)
+
+    def body(s: S):
+        nidx = jnp.where(s.done, 0, s.node)
+        row = scene.node_pack[nidx]  # (K, 12) -- the ONLY node gather
+        nmin = row[:, None, 0:3]
+        nmax = row[:, None, 3:6]
+        first = _bitcast_i32(row[:, 6])
+        count = _bitcast_i32(row[:, 7])
+        right = _bitcast_i32(row[:, 9])
+
+        t1 = (nmin - ro_p) * inv_d
+        t2 = (nmax - ro_p) * inv_d
+        tnear = jnp.max(jnp.minimum(t1, t2), axis=2)
+        tfar = jnp.min(jnp.maximum(t1, t2), axis=2)
+        ray_live = ray_on & ~s.blocked
+        ray_hit = (tfar >= jnp.maximum(tnear, 0.0)) & (tnear < s.t) & ray_live
+        hit_any = jnp.any(ray_hit, axis=1) & ~s.done
+        is_leaf = count > 0
+        do_leaf = hit_any & is_leaf
+
+        t_b, tri_b, u_b, v_b = s.t, s.tri, s.u, s.v
+        blocked = s.blocked
+        for k in range(LEAF_MAX):
+            tri_idx = first + k
+            valid = do_leaf & (k < count)  # (K,)
+            trow = scene.tri_pack[jnp.where(valid, tri_idx, 0)]  # (K, 9)
+            p0 = trow[:, None, 0:3]
+            e1 = trow[:, None, 3:6]
+            e2 = trow[:, None, 6:9]
+            pvec = jnp.cross(rd_p, jnp.broadcast_to(e2, rd_p.shape))
+            det = jnp.sum(jnp.broadcast_to(e1, rd_p.shape) * pvec, axis=2)
+            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            tvec = ro_p - p0
+            uu = jnp.sum(tvec * pvec, axis=2) * inv_det
+            qvec = jnp.cross(tvec, jnp.broadcast_to(e1, tvec.shape))
+            vv = jnp.sum(rd_p * qvec, axis=2) * inv_det
+            tt = jnp.sum(jnp.broadcast_to(e2, qvec.shape) * qvec, axis=2) * inv_det
+            ok = (valid[:, None] & ray_live & (jnp.abs(det) > 1e-12)
+                  & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                  & (tt > T_MIN) & (tt < t_b))
+            t_b = jnp.where(ok, tt, t_b)
+            tri_b = jnp.where(ok, tri_idx[:, None], tri_b)
+            u_b = jnp.where(ok, uu, u_b)
+            v_b = jnp.where(ok, vv, v_b)
+            if any_hit:
+                blocked = blocked | ok
+
+        # Control: descend left (push right) on internal hit, else pop.
+        descend = hit_any & ~is_leaf
+        kk = jnp.arange(K)
+        new_stack = s.stack.at[kk, jnp.minimum(s.ptr, STACK_DEPTH - 1)].set(
+            jnp.where(descend, right, s.stack[kk, jnp.minimum(s.ptr, STACK_DEPTH - 1)]))
+        can_pop = s.ptr > 0
+        pop_idx = jnp.maximum(s.ptr - 1, 0)
+        popped = new_stack[kk, pop_idx]
+        new_node = jnp.where(descend, s.node + 1,
+                             jnp.where(can_pop, popped, end))
+        new_ptr = jnp.where(descend, jnp.minimum(s.ptr + 1, STACK_DEPTH - 1),
+                            jnp.maximum(s.ptr - 1, 0))
+        done = s.done | (new_node == end)
+        if any_hit:
+            done = done | jnp.all(blocked | ~ray_on, axis=1)
+
+        return S(jnp.where(done, end, new_node), new_ptr, new_stack, done,
+                 t_b, tri_b, u_b, v_b, blocked, s.steps + 1)
+
+    init = S(
+        node=zero_k.astype(jnp.int32),
+        ptr=zero_k.astype(jnp.int32),
+        stack=jnp.zeros((K, STACK_DEPTH), jnp.int32) + zero_k.astype(jnp.int32)[:, None],
+        done=zero_k.astype(jnp.bool_) | ~jnp.any(ray_on, axis=1),
+        t=t0,
+        tri=zero_rp.astype(jnp.int32) + INVALID_TRI,
+        u=zero_rp,
+        v=zero_rp,
+        blocked=zero_rp.astype(jnp.bool_),
+        steps=jnp.int32(0),
+    )
+    out = lax.while_loop(cond, body, init)
+    tri = jnp.where(ray_on, out.tri, INVALID_TRI).reshape(R)
+    return Hit(out.t.reshape(R), tri, out.u.reshape(R), out.v.reshape(R))
+
+
+def intersect_any(scene, ro, rd, tmax=None, active=None,
+                  any_hit: bool = False) -> Hit:
+    """Dispatch: packet fast path when the batch tiles evenly, else SIMT."""
+    if ro.shape[0] % PACKET_SIZE == 0:
+        return intersect_packets(scene, ro, rd, tmax=tmax, active=active,
+                                 any_hit=any_hit)
+    return intersect_rays(scene, ro, rd, tmax=tmax, active=active,
+                          any_hit=any_hit)
+
+
 def occluded(scene, ro, rd, dist, active=None) -> jnp.ndarray:
     """Shadow query: True where the segment [T_MIN, dist) is blocked."""
-    hit = intersect_rays(scene, ro, rd,
-                         tmax=dist * (1.0 - 1e-3), active=active, any_hit=True)
+    hit = intersect_any(scene, ro, rd,
+                        tmax=dist * (1.0 - 1e-3), active=active, any_hit=True)
     return hit.tri != INVALID_TRI

@@ -15,9 +15,34 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.intersect import intersect_rays
+import numpy as np
+
+from ..ops.intersect import intersect_any
 from ..ops.raygen import generate_rays
 from ..ops.shade import BounceState, decode_surface, shade_step
+
+# Pixel tile used to form spatially coherent ray packets (ops/intersect.py):
+# 8 rows x 128 cols = one packet = one f32 VREG tile.
+TILE_H, TILE_W = 8, 128
+
+
+def _tile_perm(width: int, rows: int):
+    """Permutation j -> pixel index putting 8x128 tiles contiguous.
+
+    Returns (perm, inv) as numpy int32, or (None, None) when the image
+    doesn't tile evenly (callers fall back to row-major packets).
+    """
+    if width % TILE_W or rows % TILE_H:
+        return None, None
+    j = np.arange(width * rows, dtype=np.int32)
+    tiles_x = width // TILE_W
+    tile_id, within = j // (TILE_H * TILE_W), j % (TILE_H * TILE_W)
+    ty, tx = tile_id // tiles_x, tile_id % tiles_x
+    yy, xx = within // TILE_W, within % TILE_W
+    perm = (ty * TILE_H + yy) * width + (tx * TILE_W + xx)
+    inv = np.empty_like(perm)
+    inv[perm] = j
+    return perm, inv
 
 
 class GBuffer(NamedTuple):
@@ -32,13 +57,30 @@ class GBuffer(NamedTuple):
 
 def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
                 key, bounces: int = 3, vfov: float = 0.7853982,
-                nee: bool = True, jitter: jnp.ndarray | None = None):
-    """Trace one sample per pixel. Returns (radiance (R,3), GBuffer)."""
-    R = width * height
+                nee: bool = True, jitter: jnp.ndarray | None = None,
+                row_offset=0, rows: int | None = None):
+    """Trace one sample per pixel. Returns (radiance (R,3), GBuffer).
+
+    ``row_offset``/``rows`` select a horizontal slab of the image — the unit
+    of multi-device tile parallelism (parallel/tiles.py shards rows over the
+    device mesh; each shard traces its slab with a private RNG fold).
+    """
+    if rows is None:
+        rows = height
+    R = width * rows
     k_jit, k_bounce = jax.random.split(key)
     if jitter is None:
         jitter = jax.random.uniform(k_jit, (R, 2))
-    ro, rd = generate_rays(cam_to_world, width, height, vfov, jitter)
+    ro, rd = generate_rays(cam_to_world, width, height, vfov, jitter,
+                           row_offset=row_offset, rows=rows)
+
+    # Reorder rays into spatially coherent tiles so packets share traversal
+    # paths; all bounce state lives in tile order, outputs unpermute at the
+    # end (RNG is position-independent so this is behavior-neutral).
+    perm, inv = _tile_perm(width, rows)
+    if perm is not None:
+        perm_j = jnp.asarray(perm)
+        ro, rd = ro[perm_j], rd[perm_j]
 
     state = BounceState(
         ro=ro, rd=rd,
@@ -51,7 +93,7 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
 
     gbuffer = None
     for bounce in range(bounces):
-        hit = intersect_rays(scene, state.ro, state.rd, active=state.alive)
+        hit = intersect_any(scene, state.ro, state.rd, active=state.alive)
         if bounce == 0:
             surf0 = decode_surface(scene, state.ro, state.rd, hit)
             missed = hit.tri < 0
@@ -65,7 +107,13 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
         k_bounce, k_step = jax.random.split(k_bounce)
         state, _ = shade_step(scene, state, hit, k_step, nee=nee)
 
-    return state.radiance, gbuffer
+    radiance = state.radiance
+    if perm is not None:
+        inv_j = jnp.asarray(inv)
+        radiance = radiance[inv_j]
+        gbuffer = GBuffer(*(f[inv_j] for f in gbuffer))
+
+    return radiance, gbuffer
 
 
 def accumulate(accum: jnp.ndarray, sample: jnp.ndarray,

@@ -80,8 +80,9 @@ class SceneBuffers:
 
     # Packed gather-friendly copies for the traversal hot loop: one row
     # gather per step instead of five (ops/intersect.py).
-    # node_pack: [min.xyz, max.xyz, first, count, miss] (ints bitcast to f32)
-    node_pack: jnp.ndarray = None  # (N, 9) float32
+    # node_pack: [min.xyz, max.xyz, first, count, miss, right, pad, pad]
+    # (ints bitcast to f32)
+    node_pack: jnp.ndarray = None  # (N, 12) float32
     # tri_pack: [p0.xyz, e1.xyz, e2.xyz]
     tri_pack: jnp.ndarray = None  # (T, 9) float32
 
@@ -219,11 +220,15 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
 
     e1 = (p1 - p0).astype(np.float32)
     e2 = (p2 - p0).astype(np.float32)
+    node_right = pad_rows(bvh.right, Np, -1)
+    pad_col = np.zeros((Np, 1), np.float32)
     node_pack = np.concatenate([
         node_min, node_max,
         node_first.astype(np.int32).view(np.float32)[:, None],
         node_count.astype(np.int32).view(np.float32)[:, None],
         node_miss.astype(np.int32).view(np.float32)[:, None],
+        node_right.astype(np.int32).view(np.float32)[:, None],
+        pad_col, pad_col,
     ], axis=1).astype(np.float32)
     tri_pack = np.concatenate([padt(p0, 1e30), padt(e1), padt(e2)], axis=1)
 
