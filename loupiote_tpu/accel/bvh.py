@@ -30,7 +30,9 @@ from dataclasses import dataclass
 
 import numpy as np
 
-LEAF_MAX = 4  # max triangles per leaf; static unroll bound in the kernel
+# Max triangles per leaf. 14 is chosen by the TPU leaf-row layout: one leaf
+# = one 128-lane VMEM row of 14 triangles x 9 floats (ops/pallas_intersect).
+LEAF_MAX = 14
 SAH_BINS = 16
 
 

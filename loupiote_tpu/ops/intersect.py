@@ -171,6 +171,9 @@ def intersect_packets(scene, ro, rd, tmax=None, active=None,
     rd_p = rd.reshape(K, P, 3)
     inv_d = 1.0 / jnp.where(jnp.abs(rd_p) > 1e-20,
                             rd_p, jnp.where(rd_p >= 0, 1e-20, -1e-20))
+    # Majority direction sign per packet/axis: drives near-child-first
+    # ordering (children are split low/high along the node's split axis).
+    dir_pos = jnp.sum(jnp.sign(rd_p), axis=1) >= 0.0  # (K, 3) bool
 
     zero_rp = (ro_p[:, :, 0] + rd_p[:, :, 0]) * 0.0  # (K,P) vma-carrier
     zero_k = zero_rp[:, 0]
@@ -205,6 +208,7 @@ def intersect_packets(scene, ro, rd, tmax=None, active=None,
         first = _bitcast_i32(row[:, 6])
         count = _bitcast_i32(row[:, 7])
         right = _bitcast_i32(row[:, 9])
+        axis = _bitcast_i32(row[:, 10])
 
         t1 = (nmin - ro_p) * inv_d
         t2 = (nmax - ro_p) * inv_d
@@ -243,15 +247,21 @@ def intersect_packets(scene, ro, rd, tmax=None, active=None,
             if any_hit:
                 blocked = blocked | ok
 
-        # Control: descend left (push right) on internal hit, else pop.
+        # Control: descend near child first (push far), else pop. Near is
+        # the low-coordinate (left) child when the packet's majority ray
+        # direction along the split axis is positive.
         descend = hit_any & ~is_leaf
+        axis_pos = jnp.take_along_axis(
+            dir_pos, jnp.maximum(axis, 0)[:, None], axis=1)[:, 0]
+        near = jnp.where(axis_pos, s.node + 1, right)
+        far = jnp.where(axis_pos, right, s.node + 1)
         kk = jnp.arange(K)
         new_stack = s.stack.at[kk, jnp.minimum(s.ptr, STACK_DEPTH - 1)].set(
-            jnp.where(descend, right, s.stack[kk, jnp.minimum(s.ptr, STACK_DEPTH - 1)]))
+            jnp.where(descend, far, s.stack[kk, jnp.minimum(s.ptr, STACK_DEPTH - 1)]))
         can_pop = s.ptr > 0
         pop_idx = jnp.maximum(s.ptr - 1, 0)
         popped = new_stack[kk, pop_idx]
-        new_node = jnp.where(descend, s.node + 1,
+        new_node = jnp.where(descend, near,
                              jnp.where(can_pop, popped, end))
         new_ptr = jnp.where(descend, jnp.minimum(s.ptr + 1, STACK_DEPTH - 1),
                             jnp.maximum(s.ptr - 1, 0))
@@ -279,10 +289,27 @@ def intersect_packets(scene, ro, rd, tmax=None, active=None,
     return Hit(out.t.reshape(R), tri, out.u.reshape(R), out.v.reshape(R))
 
 
+def _pallas_enabled() -> bool:
+    import os
+
+    if os.environ.get("LOUPIOTE_NO_PALLAS") == "1":
+        return False
+    if os.environ.get("LOUPIOTE_FORCE_PALLAS") == "1":
+        return True
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def intersect_any(scene, ro, rd, tmax=None, active=None,
                   any_hit: bool = False) -> Hit:
-    """Dispatch: packet fast path when the batch tiles evenly, else SIMT."""
-    if ro.shape[0] % PACKET_SIZE == 0:
+    """Dispatch: Pallas sub-packet kernel on TPU, XLA packets elsewhere,
+    per-ray SIMT for odd batch sizes."""
+    R = ro.shape[0]
+    if R % PACKET_SIZE == 0 and _pallas_enabled():
+        from .pallas_intersect import intersect_pallas
+
+        return intersect_pallas(scene, ro, rd, tmax=tmax, active=active,
+                                any_hit=any_hit)
+    if R % PACKET_SIZE == 0:
         return intersect_packets(scene, ro, rd, tmax=tmax, active=active,
                                  any_hit=any_hit)
     return intersect_rays(scene, ro, rd, tmax=tmax, active=active,

@@ -83,6 +83,13 @@ class SceneBuffers:
     # node_pack: [min.xyz, max.xyz, first, count, miss, right, pad, pad]
     # (ints bitcast to f32)
     node_pack: jnp.ndarray = None  # (N, 12) float32
+
+    # Pallas row layout (ops/pallas_intersect.py): node_rows lanes =
+    # [min.xyz, max.xyz, count, miss, right|leaf_row, axis|global_first,
+    #  pad x6] (ints bitcast); leaf_rows = 14 tris x [p0, e1, e2] + 2 pad.
+    node_rows: jnp.ndarray = None  # (N, 16) float32
+    leaf_rows: jnp.ndarray = None  # (L, 128) float32
+    num_leaves: int = struct.field(pytree_node=False, default=0)
     # tri_pack: [p0.xyz, e1.xyz, e2.xyz]
     tri_pack: jnp.ndarray = None  # (T, 9) float32
 
@@ -221,6 +228,7 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
     e1 = (p1 - p0).astype(np.float32)
     e2 = (p2 - p0).astype(np.float32)
     node_right = pad_rows(bvh.right, Np, -1)
+    node_axis = pad_rows(bvh.axis, Np, -1)
     pad_col = np.zeros((Np, 1), np.float32)
     node_pack = np.concatenate([
         node_min, node_max,
@@ -228,9 +236,46 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
         node_count.astype(np.int32).view(np.float32)[:, None],
         node_miss.astype(np.int32).view(np.float32)[:, None],
         node_right.astype(np.int32).view(np.float32)[:, None],
-        pad_col, pad_col,
+        node_axis.astype(np.int32).view(np.float32)[:, None],
+        pad_col,
     ], axis=1).astype(np.float32)
     tri_pack = np.concatenate([padt(p0, 1e30), padt(e1), padt(e2)], axis=1)
+
+    # --- Pallas row tables (see SceneBuffers docfields). Leaf l -> row l
+    # holding its <=14 triangles; nodes reference leaf rows + global first.
+    from ..accel.bvh import LEAF_MAX as _LEAF_ROW_CAP
+
+    is_leaf = bvh.count > 0
+    leaf_row_of_node = np.cumsum(is_leaf) - 1  # valid where is_leaf
+    L = int(is_leaf.sum())
+    leaf_rows = np.zeros((max(L, 1), 128), np.float32)
+    leaf_ids = np.nonzero(is_leaf)[0]
+    tri9 = np.concatenate([p0, e1, e2], axis=1)  # (T, 9) unpadded
+    for li, nd in enumerate(leaf_ids):
+        f, c = int(bvh.first[nd]), int(bvh.count[nd])
+        c = min(c, _LEAF_ROW_CAP)
+        block = tri9[f:f + c].reshape(-1)
+        leaf_rows[li, :block.size] = block
+        # Degenerate padding for empty slots: p0 far away, e1 = e2 = 0
+        # (already zero) never hits.
+        for k in range(c, _LEAF_ROW_CAP):
+            leaf_rows[li, 9 * k: 9 * k + 3] = 1e30
+
+    def _i32col(v):
+        return v.astype(np.int32).view(np.float32)[:, None]
+
+    slot8 = np.where(is_leaf, leaf_row_of_node, bvh.right)
+    slot9 = np.where(is_leaf, bvh.first, bvh.axis)
+    node_rows = np.concatenate([
+        bvh.node_min, bvh.node_max,
+        _i32col(bvh.count), _i32col(bvh.miss),
+        _i32col(slot8), _i32col(slot9),
+        np.zeros((N, 6), np.float32),
+    ], axis=1).astype(np.float32)
+    node_rows = pad_rows(node_rows, Np, 0.0)
+    # Padded rows: empty boxes (min > max) that never hit.
+    node_rows[N:, 0:3] = 1e30
+    node_rows[N:, 3:6] = -1e30
 
     if probe is not None:
         pr = probe.radiance
@@ -280,6 +325,9 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
         probe_pdf=jnp.asarray(pp),
         node_pack=jnp.asarray(node_pack),
         tri_pack=jnp.asarray(tri_pack),
+        node_rows=jnp.asarray(node_rows),
+        leaf_rows=jnp.asarray(leaf_rows),
+        num_leaves=L,
         num_tris=T,
         num_nodes=N,
         num_lights=len(scene.lights),

@@ -1,0 +1,68 @@
+"""Pallas traversal kernel vs the reference SIMT traversal (interpret mode
+on CPU; the same kernel compiles with Mosaic on TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from loupiote_tpu.ops.intersect import intersect_rays
+from loupiote_tpu.ops.pallas_intersect import TILE, intersect_pallas
+from loupiote_tpu.scene import Scene, build_scene_buffers
+from loupiote_tpu.scene.types import Instance, Mesh
+
+from test_bvh import random_tris
+
+
+@pytest.fixture(scope="module")
+def tri_scene(rng):
+    n = 300
+    v0, v1, v2 = random_tris(rng, n, spread=10.0, size=1.0)
+    scene = Scene.default()
+    pos = np.empty((n * 3, 3), np.float32)
+    pos[0::3], pos[1::3], pos[2::3] = v0, v1, v2
+    scene.meshes.append(Mesh(pos, None, None, np.arange(n * 3, dtype=np.uint32)))
+    scene.instances.append(Instance(0, np.eye(4, dtype=np.float32), 0))
+    return build_scene_buffers(scene), (v0, v1, v2)
+
+
+def _rays(rng, tris, R):
+    v0, v1, _ = tris
+    n = len(v0)
+    ro = ((rng.random((R, 3)) - 0.5) * 25).astype(np.float32)
+    tgt = (v0[rng.integers(0, n, R)] + v1[rng.integers(0, n, R)]) / 2
+    rd = np.where(rng.random((R, 1)) < 0.7, tgt - ro,
+                  rng.random((R, 3)) - 0.5).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    return jnp.asarray(ro), jnp.asarray(rd)
+
+
+def test_pallas_matches_simt(tri_scene, rng):
+    bufs, tris = tri_scene
+    ro, rd = _rays(rng, tris, TILE)
+    ref = intersect_rays(bufs, ro, rd)
+    out = intersect_pallas(bufs, ro, rd, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.t), np.asarray(ref.t), rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out.tri), np.asarray(ref.tri))
+    np.testing.assert_allclose(np.asarray(out.u), np.asarray(ref.u), atol=1e-4)
+
+
+def test_pallas_anyhit_matches(tri_scene, rng):
+    bufs, tris = tri_scene
+    ro, rd = _rays(rng, tris, TILE)
+    dist = jnp.full(TILE, 5.0)
+    ref = intersect_rays(bufs, ro, rd, tmax=dist, any_hit=True)
+    out = intersect_pallas(bufs, ro, rd, tmax=dist, any_hit=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out.tri) >= 0,
+                                  np.asarray(ref.tri) >= 0)
+
+
+def test_pallas_active_mask(tri_scene, rng):
+    bufs, tris = tri_scene
+    ro, rd = _rays(rng, tris, TILE)
+    active = jnp.asarray(rng.random(TILE) < 0.5)
+    out = intersect_pallas(bufs, ro, rd, active=active, interpret=True)
+    tri = np.asarray(out.tri)
+    assert (tri[~np.asarray(active)] == -1).all()
+    ref = intersect_rays(bufs, ro, rd)
+    act = np.asarray(active)
+    np.testing.assert_array_equal(tri[act], np.asarray(ref.tri)[act])
