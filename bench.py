@@ -16,6 +16,10 @@ import numpy as np
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import jax.random as jr
 

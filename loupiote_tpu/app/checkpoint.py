@@ -1,0 +1,65 @@
+"""Checkpoint / resume for render sessions.
+
+The reference has none (SURVEY.md §5); its nearest analogs are the
+progressive accumulation state and PNG screenshots. Because our frame state
+is a pytree of arrays, checkpointing a render session is a first-class
+feature here: save/restore RenderState + settings, so a long progressive
+accumulation (or an interactive session) survives restarts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BlitMode
+from ..render.renderer import Renderer, RenderState
+
+_MANIFEST = "manifest.json"
+
+
+def save_session(path: str, renderer: Renderer) -> None:
+    """Write the renderer's device state + settings to ``path`` (a dir)."""
+    os.makedirs(path, exist_ok=True)
+    state = renderer.state
+    arrays = {f: np.asarray(getattr(state, f))
+              for f in state.__dataclass_fields__}
+    np.savez_compressed(os.path.join(path, "state.npz"), **arrays)
+    manifest = {
+        "size": list(renderer.size),
+        "accumulate": renderer.accumulate,
+        "mode": renderer.mode.value,
+        "use_noise": renderer.use_noise,
+        "version": 1,
+    }
+    with open(os.path.join(path, _MANIFEST), "w") as f:
+        json.dump(manifest, f)
+
+
+def load_session(path: str, renderer: Renderer) -> None:
+    """Restore state saved by save_session into ``renderer`` (sizes must
+    match; resize first if needed)."""
+    with open(os.path.join(path, _MANIFEST)) as f:
+        manifest = json.load(f)
+    size = tuple(manifest["size"])
+    if tuple(renderer.size) != size:
+        raise ValueError(
+            f"checkpoint size {size} != renderer size {renderer.size}")
+    data = np.load(os.path.join(path, "state.npz"))
+    fields = {k: jnp.asarray(data[k]) for k in data.files}
+    renderer.state = RenderState(**fields)
+    renderer.accumulate = bool(manifest["accumulate"])
+    renderer.mode = BlitMode(manifest["mode"])
+    renderer.use_noise = bool(manifest["use_noise"])
+
+
+def checkpoint_info(path: str) -> Tuple[dict, int]:
+    with open(os.path.join(path, _MANIFEST)) as f:
+        manifest = json.load(f)
+    data = np.load(os.path.join(path, "state.npz"))
+    return manifest, int(data["frame_count"])

@@ -48,11 +48,13 @@ def _bc(col):
 
 def _traverse_kernel(node_ref, leaf_ref,
                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
+                     act_ref,
                      t_out, u_out, v_out, tri_out,
                      stack_ref, *, end_index: int, any_hit: bool,
                      max_steps: int):
     ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    act = act_ref[0]  # (8,128) int32 0/1 active mask
 
     def safe_inv(d):
         return 1.0 / jnp.where(jnp.abs(d) > 1e-20, d,
@@ -74,8 +76,9 @@ def _traverse_kernel(node_ref, leaf_ref,
     # stack ops extract per-row values with static indices.
     node0 = jnp.zeros((SUB, 1), jnp.int32)
     ptr0 = jnp.zeros((SUB, 1), jnp.int32)
-    done0 = jnp.zeros((SUB, 1), jnp.int32)  # int32: bool scalar extract
-    # is unsupported in Mosaic
+    # Sub-packets with no active ray retire before the first step.
+    # (int32 throughout: bool scalar extract is unsupported in Mosaic.)
+    done0 = (jnp.sum(act, axis=1, keepdims=True) == 0).astype(jnp.int32)
 
     def cond(c):
         (node, ptr, done, t, u, v, tri, blocked, steps) = c
@@ -109,7 +112,7 @@ def _traverse_kernel(node_ref, leaf_ref,
         tfar = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                        jnp.maximum(t1y, t2y)),
                            jnp.maximum(t1z, t2z))
-        ray_hit = (tfar >= jnp.maximum(tnear, 0.0)) & (tnear < t)
+        ray_hit = (tfar >= jnp.maximum(tnear, 0.0)) & (tnear < t) & (act > 0)
         if any_hit:
             ray_hit = ray_hit & (blocked == 0)
         ray_hit = ray_hit & (_bc(done) == 0)
@@ -183,8 +186,9 @@ def _traverse_kernel(node_ref, leaf_ref,
 
         end = jnp.int32(end_index)
         if any_hit:
-            # Rows where every ray is blocked can retire early.
-            n_blocked = jnp.sum(new_blocked, axis=1, keepdims=True)  # (8,1)
+            # Rows where every active ray is blocked can retire early.
+            n_blocked = jnp.sum(jnp.maximum(new_blocked, 1 - act), axis=1,
+                                keepdims=True)  # (8,1)
         nodes_s, ptrs_s, dones_s = [], [], []
         for s in range(SUB):
             d_s = descend_i[s, 0] > 0
@@ -228,7 +232,7 @@ def _traverse_kernel(node_ref, leaf_ref,
 @functools.partial(jax.jit,
                    static_argnames=("any_hit", "end_index", "num_nodes",
                                     "interpret"))
-def _pallas_trace(node_rows, leaf_rows, ox, oy, oz, dx, dy, dz, t0,
+def _pallas_trace(node_rows, leaf_rows, ox, oy, oz, dx, dy, dz, t0, act,
                   *, any_hit: bool, end_index: int, num_nodes: int,
                   interpret: bool = False):
     G = ox.shape[0]
@@ -241,7 +245,7 @@ def _pallas_trace(node_rows, leaf_rows, ox, oy, oz, dx, dy, dz, t0,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # node_rows (whole)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # leaf_rows (whole)
         ] + [pl.BlockSpec((1, SUB, SUBP), lambda g: (g, 0, 0),
-                          memory_space=pltpu.VMEM)] * 7,
+                          memory_space=pltpu.VMEM)] * 8,
         out_specs=[pl.BlockSpec((1, SUB, SUBP), lambda g: (g, 0, 0),
                                 memory_space=pltpu.VMEM)] * 4,
         scratch_shapes=[pltpu.SMEM((SUB * STACK,), jnp.int32)],
@@ -261,7 +265,7 @@ def _pallas_trace(node_rows, leaf_rows, ox, oy, oz, dx, dy, dz, t0,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(node_rows, leaf_rows, ox, oy, oz, dx, dy, dz, t0)
+    )(node_rows, leaf_rows, ox, oy, oz, dx, dy, dz, t0, act)
     return t, u, v, tri
 
 
@@ -277,16 +281,15 @@ def intersect_pallas(scene, ro, rd, tmax=None, active=None,
 
     t0 = jnp.full(R, T_FAR, jnp.float32) if tmax is None else tmax
     if active is not None:
-        # Inactive rays: t0 <= 0 fails every `tnear < t` test with boxes in
-        # front; boxes containing the origin may still pass, but no hit can
-        # record (tt > T_MIN > t0 fails) — results are masked below anyway.
-        t0 = jnp.where(active, t0, -1.0)
+        act = active.astype(jnp.int32)
+    else:
+        act = jnp.ones(R, jnp.int32)
 
     t, u, v, tri = _pallas_trace(
         scene.node_rows, scene.leaf_rows,
         shape(ro[:, 0]), shape(ro[:, 1]), shape(ro[:, 2]),
         shape(rd[:, 0]), shape(rd[:, 1]), shape(rd[:, 2]),
-        shape(t0),
+        shape(t0), shape(act),
         any_hit=any_hit, end_index=int(scene.end_index),
         num_nodes=int(scene.num_nodes), interpret=interpret)
 

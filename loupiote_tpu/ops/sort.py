@@ -1,0 +1,50 @@
+"""Ray reordering: Morton-code + direction-octant sort keys.
+
+The wavefront performance pass from SURVEY.md §7 / BASELINE's north star:
+between bounces, rays are re-sorted so spatially/directionally similar rays
+land in the same 128-ray sub-packet (ops/pallas_intersect.py) and dead rays
+compact into sub-packets that retire on their first step. (cf. the ray
+reordering literature referenced in PAPERS.md.)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+DEAD_KEY = jnp.uint32(0xFFFFFFFF)
+
+
+def _spread3(x: jnp.ndarray) -> jnp.ndarray:
+    """Interleave 10 bits with two zero bits each (Morton component)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x30000FF
+    x = (x | (x << 8)) & 0x300F00F
+    x = (x | (x << 4)) & 0x30C30C3
+    x = (x | (x << 2)) & 0x9249249
+    return x
+
+
+def morton3(p: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
+            bits: int = 10) -> jnp.ndarray:
+    """(R,3) positions -> 3*bits-bit Morton codes within [lo, hi]."""
+    q = jnp.clip((p - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
+    scale = (1 << bits) - 1
+    qi = (q * scale).astype(jnp.uint32)
+    return (_spread3(qi[:, 0]) << 2) | (_spread3(qi[:, 1]) << 1) | _spread3(qi[:, 2])
+
+
+def direction_octant(d: jnp.ndarray) -> jnp.ndarray:
+    return (((d[:, 0] > 0).astype(jnp.uint32) << 2)
+            | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
+            | (d[:, 2] > 0).astype(jnp.uint32))
+
+
+def ray_sort_key(ro: jnp.ndarray, rd: jnp.ndarray, alive: jnp.ndarray,
+                 lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
+    """uint32 key: direction octant (major) + origin Morton; dead rays last."""
+    key = (direction_octant(rd) << 27) | (morton3(ro, lo, hi, bits=9) & 0x7FFFFFF)
+    return jnp.where(alive, key, DEAD_KEY)
+
+
+def sort_order(key: jnp.ndarray) -> jnp.ndarray:
+    return jnp.argsort(key)

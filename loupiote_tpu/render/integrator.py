@@ -58,12 +58,17 @@ class GBuffer(NamedTuple):
 def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
                 key, bounces: int = 3, vfov: float = 0.7853982,
                 nee: bool = True, jitter: jnp.ndarray | None = None,
-                row_offset=0, rows: int | None = None):
+                row_offset=0, rows: int | None = None,
+                sort_rays: bool = True):
     """Trace one sample per pixel. Returns (radiance (R,3), GBuffer).
 
     ``row_offset``/``rows`` select a horizontal slab of the image — the unit
     of multi-device tile parallelism (parallel/tiles.py shards rows over the
     device mesh; each shard traces its slab with a private RNG fold).
+
+    ``sort_rays``: re-sort live rays by direction-octant + origin-Morton
+    between bounces (ops/sort.py) so secondary waves stay packet-coherent
+    and dead rays compact into instantly-retiring tiles.
     """
     if rows is None:
         rows = height
@@ -91,7 +96,13 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
         use_mis=jnp.zeros(R, jnp.bool_),
     )
 
+    # Slot -> original pixel mapping, updated by inter-bounce sorts.
+    pixel_of_slot = (jnp.asarray(perm) if perm is not None
+                     else jnp.arange(R, dtype=jnp.int32))
+
     gbuffer = None
+    scene_lo = scene.node_min[0]
+    scene_hi = scene.node_max[0]
     for bounce in range(bounces):
         hit = intersect_any(scene, state.ro, state.rd, active=state.alive)
         if bounce == 0:
@@ -107,10 +118,18 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
         k_bounce, k_step = jax.random.split(k_bounce)
         state, _ = shade_step(scene, state, hit, k_step, nee=nee)
 
-    radiance = state.radiance
+        if sort_rays and bounce < bounces - 1:
+            from ..ops.sort import ray_sort_key, sort_order
+
+            order = sort_order(ray_sort_key(state.ro, state.rd, state.alive,
+                                            scene_lo, scene_hi))
+            state = jax.tree.map(lambda x: x[order], state)
+            pixel_of_slot = pixel_of_slot[order]
+
+    # Scatter per-slot radiance back to pixel order.
+    radiance = jnp.zeros_like(state.radiance).at[pixel_of_slot].set(state.radiance)
     if perm is not None:
         inv_j = jnp.asarray(inv)
-        radiance = radiance[inv_j]
         gbuffer = GBuffer(*(f[inv_j] for f in gbuffer))
 
     return radiance, gbuffer
