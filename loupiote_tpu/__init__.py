@@ -6,14 +6,22 @@ Public façade mirrors `crates/lib/src/lib.rs:1-11`: device info, errors,
 renderer, scene + loaders.
 """
 
-from . import scene
-from .errors import Error
-from .scene import (Scene, SceneBuffers, build_scene_buffers, load_binary_from_path,
-                    load_gltf, load_gltf_path, load_probe)
+from . import app, config, denoise, ops, parallel, render, scene
+from .config import BlitMode, RenderConfig, Settings
+from .device import Device
+from .errors import AccelBuild, Error, FileNotFound, TextureToBufferReadFail
+from .render import Camera, CameraController, Renderer
+from .scene import (Scene, SceneBuffers, build_scene_buffers,
+                    load_binary_from_path, load_gltf, load_gltf_path,
+                    load_probe)
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "scene", "Error", "Scene", "SceneBuffers", "build_scene_buffers",
+    "app", "config", "denoise", "ops", "parallel", "render", "scene",
+    "BlitMode", "RenderConfig", "Settings", "Device",
+    "AccelBuild", "Error", "FileNotFound", "TextureToBufferReadFail",
+    "Camera", "CameraController", "Renderer",
+    "Scene", "SceneBuffers", "build_scene_buffers",
     "load_binary_from_path", "load_gltf", "load_gltf_path", "load_probe",
 ]

@@ -90,6 +90,14 @@ class SceneBuffers:
     node_rows: jnp.ndarray = None  # (N, 16) float32
     leaf_rows: jnp.ndarray = None  # (L, 128) float32
     num_leaves: int = struct.field(pytree_node=False, default=0)
+
+    # Shading attribute packs: ONE row gather per hit instead of ~11
+    # (gathers cost ~row-count, not row-width, on TPU).
+    # tri_shade: [n0(3), n1(3), n2(3), uv0(2), uv1(2), uv2(2), mat, inst]
+    tri_shade: jnp.ndarray = None  # (T, 17) float32 (ints bitcast)
+    # mat_pack: [color(4), roughness, metallic, emission(3), albedo_tex,
+    #            mra_tex] (tex ids bitcast)
+    mat_pack: jnp.ndarray = None  # (M, 11) float32
     # tri_pack: [p0.xyz, e1.xyz, e2.xyz]
     tri_pack: jnp.ndarray = None  # (T, 9) float32
 
@@ -98,6 +106,7 @@ class SceneBuffers:
     num_nodes: int = struct.field(pytree_node=False, default=0)
     num_lights: int = struct.field(pytree_node=False, default=0)
     has_probe: bool = struct.field(pytree_node=False, default=False)
+    has_textures: bool = struct.field(pytree_node=False, default=False)
     end_index: int = struct.field(pytree_node=False, default=0)
 
 
@@ -264,6 +273,20 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
     def _i32col(v):
         return v.astype(np.int32).view(np.float32)[:, None]
 
+    tri_shade = np.concatenate([
+        padt(n0), padt(n1), padt(n2),
+        pad_rows(uv0, Tp), pad_rows(uv1, Tp), pad_rows(uv2, Tp),
+        pad_rows(tri_mat, Tp, 0).astype(np.int32).view(np.float32)[:, None],
+        pad_rows(tri_inst, Tp, -1).astype(np.int32).view(np.float32)[:, None],
+    ], axis=1).astype(np.float32)
+    mat_pack = np.concatenate([
+        mat_color,
+        mat_roughness[:, None], mat_metallic[:, None],
+        mat_emission,
+        mat_albedo_tex.view(np.float32)[:, None],
+        mat_mra_tex.view(np.float32)[:, None],
+    ], axis=1).astype(np.float32)
+
     slot8 = np.where(is_leaf, leaf_row_of_node, bvh.right)
     slot9 = np.where(is_leaf, bvh.first, bvh.axis)
     node_rows = np.concatenate([
@@ -328,9 +351,12 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
         node_rows=jnp.asarray(node_rows),
         leaf_rows=jnp.asarray(leaf_rows),
         num_leaves=L,
+        tri_shade=jnp.asarray(tri_shade),
+        mat_pack=jnp.asarray(mat_pack),
         num_tris=T,
         num_nodes=N,
         num_lights=len(scene.lights),
         has_probe=has_probe,
+        has_textures=len(scene.images) > 0,
         end_index=N,
     )
