@@ -74,12 +74,16 @@ def temporal_reproject(curr_illum, motion, curr_normal, curr_depth, curr_mesh,
     fx = px - x0
     fy = py - y0
 
-    def gather(img, xi, yi):
-        xi_c = jnp.clip(xi.astype(jnp.int32), 0, w - 1)
-        yi_c = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
-        flat = img.reshape(h * w, -1)
-        out = flat[yi_c * w + xi_c]
-        return out.reshape(img.shape if img.ndim == 3 else (h, w))
+    # Pack everything reprojection reads into ONE (H*W, 11) array so each
+    # bilinear tap is a single row gather (TPU gathers cost ~per-row).
+    prev_pack = jnp.concatenate([
+        prev_illum,                      # 0:3
+        prev_moments,                    # 3:5
+        prev_history[..., None],         # 5
+        prev_normal,                     # 6:9
+        prev_depth[..., None],           # 9
+        prev_mesh.astype(jnp.float32)[..., None],  # 10
+    ], axis=-1).reshape(h * w, 11)
 
     n_dot_min = 0.9
     illum_acc = jnp.zeros_like(curr_illum)
@@ -94,18 +98,21 @@ def temporal_reproject(curr_illum, motion, curr_normal, curr_depth, curr_mesh,
             wgt = (jnp.where(dx == 1, fx, 1.0 - fx)
                    * jnp.where(dy == 1, fy, 1.0 - fy))
             in_bounds = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-            p_mesh = gather(prev_mesh[..., None], xi, yi)[..., 0]
-            p_depth = gather(prev_depth[..., None], xi, yi)[..., 0]
-            p_normal = gather(prev_normal, xi, yi)
-            same_mesh = p_mesh == curr_mesh
+            xi_c = jnp.clip(xi.astype(jnp.int32), 0, w - 1)
+            yi_c = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
+            tap = prev_pack[yi_c * w + xi_c]  # (H, W, 11) single gather
+            p_mesh = tap[..., 10]
+            p_depth = tap[..., 9]
+            p_normal = tap[..., 6:9]
+            same_mesh = p_mesh == curr_mesh.astype(jnp.float32)
             depth_ok = jnp.abs(p_depth - curr_depth) <= (
                 0.1 * jnp.maximum(jnp.maximum(p_depth, curr_depth), 1e-3))
             normal_ok = jnp.sum(p_normal * curr_normal, axis=-1) > n_dot_min
             valid = in_bounds & same_mesh & depth_ok & normal_ok & (curr_mesh >= 0)
             wv = jnp.where(valid, wgt, 0.0)
-            illum_acc = illum_acc + gather(prev_illum, xi, yi) * wv[..., None]
-            mom_acc = mom_acc + gather(prev_moments, xi, yi) * wv[..., None]
-            hist_acc = hist_acc + gather(prev_history[..., None], xi, yi)[..., 0] * wv
+            illum_acc = illum_acc + tap[..., 0:3] * wv[..., None]
+            mom_acc = mom_acc + tap[..., 3:5] * wv[..., None]
+            hist_acc = hist_acc + tap[..., 5] * wv
             w_acc = w_acc + wv
 
     reproj_ok = w_acc > 1e-3

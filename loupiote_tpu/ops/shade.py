@@ -67,19 +67,16 @@ def decode_surface(scene, ro, rd, hit: Hit, textures: bool = True) -> Surface:
     w = 1.0 - hit.u - hit.v
     b = (w[:, None], hit.u[:, None], hit.v[:, None])
 
-    srow = scene.tri_shade[tri]  # (R, 17)
+    srow = scene.tri_shade[tri]  # (R, 20)
     n0, n1, n2 = srow[:, 0:3], srow[:, 3:6], srow[:, 6:9]
     uv0, uv1, uv2 = srow[:, 9:11], srow[:, 11:13], srow[:, 13:15]
     mat = _i32(srow[:, 15])
     inst = _i32(srow[:, 16])
+    ng = srow[:, 17:20]  # precomputed unit geometric normal
 
     n = n0 * b[0] + n1 * b[1] + n2 * b[2]
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=1, keepdims=True), 1e-12)
     uv = uv0 * b[0] + uv1 * b[1] + uv2 * b[2]
-
-    grow = scene.tri_pack[tri]  # (R, 9): p0, e1, e2
-    ng = jnp.cross(grow[:, 3:6], grow[:, 6:9])
-    ng = ng / jnp.maximum(jnp.linalg.norm(ng, axis=1, keepdims=True), 1e-12)
 
     # Two-sided: orient both normals against the incoming direction
     # (the reference scene materials are doubleSided).

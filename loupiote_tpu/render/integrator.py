@@ -45,6 +45,27 @@ def _tile_perm(width: int, rows: int):
     return perm, inv
 
 
+def _tiles_ok(width: int, rows: int) -> bool:
+    return width % TILE_W == 0 and rows % TILE_H == 0
+
+
+def to_tile_order(x: jnp.ndarray, width: int, rows: int) -> jnp.ndarray:
+    """Pixel-major (R, ...) -> tile-major, as pure reshape/transpose
+    (gather-free: a 2M-row permutation gather costs ~25 ms on TPU,
+    a transpose is bandwidth-speed)."""
+    lead = x.shape[1:]
+    x = x.reshape(rows // TILE_H, TILE_H, width // TILE_W, TILE_W, *lead)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape(rows * width, *lead)
+
+
+def from_tile_order(x: jnp.ndarray, width: int, rows: int) -> jnp.ndarray:
+    lead = x.shape[1:]
+    x = x.reshape(rows // TILE_H, width // TILE_W, TILE_H, TILE_W, *lead)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape(rows * width, *lead)
+
+
 class GBuffer(NamedTuple):
     """First-bounce aux output (PrimaryRayPass analog, renderer.rs:466-481)."""
 
@@ -79,13 +100,18 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
     ro, rd = generate_rays(cam_to_world, width, height, vfov, jitter,
                            row_offset=row_offset, rows=rows)
 
-    # Reorder rays into spatially coherent tiles so packets share traversal
-    # paths; all bounce state lives in tile order, outputs unpermute at the
-    # end (RNG is position-independent so this is behavior-neutral).
-    perm, inv = _tile_perm(width, rows)
-    if perm is not None:
-        perm_j = jnp.asarray(perm)
-        ro, rd = ro[perm_j], rd[perm_j]
+    # Reorder rays into spatially coherent 8x128 tiles so sub-packets share
+    # traversal paths. Tile ordering is a pure reshape/transpose (free);
+    # everything below lives in tile order and transposes back at the end.
+    tiled = _tiles_ok(width, rows)
+    if tiled:
+        ro = to_tile_order(ro, width, rows)
+        rd = to_tile_order(rd, width, rows)
+
+    # Dynamic inter-bounce sorting only pays off when traversal is the
+    # dominant cost (large BVHs); the permutation gathers cost ~25ms per
+    # 2M-row array on TPU.
+    do_sort = sort_rays and scene.num_nodes > 16384
 
     state = BounceState(
         ro=ro, rd=rd,
@@ -96,17 +122,18 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
         use_mis=jnp.zeros(R, jnp.bool_),
     )
 
-    # Slot -> original pixel mapping, updated by inter-bounce sorts.
-    pixel_of_slot = (jnp.asarray(perm) if perm is not None
-                     else jnp.arange(R, dtype=jnp.int32))
-
     gbuffer = None
     scene_lo = scene.node_min[0]
     scene_hi = scene.node_max[0]
     for bounce in range(bounces):
-        hit = intersect_any(scene, state.ro, state.rd, active=state.alive)
+        if do_sort and bounce > 0:
+            hit = _intersect_sorted(scene, state.ro, state.rd, state.alive,
+                                    scene_lo, scene_hi)
+        else:
+            hit = intersect_any(scene, state.ro, state.rd, active=state.alive)
         if bounce == 0:
-            surf0 = decode_surface(scene, state.ro, state.rd, hit)
+            surf0 = decode_surface(scene, state.ro, state.rd, hit,
+                                   textures=scene.has_textures)
             missed = hit.tri < 0
             gbuffer = GBuffer(
                 normal=jnp.where(missed[:, None], 0.0, surf0.n_shade),
@@ -118,21 +145,47 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
         k_bounce, k_step = jax.random.split(k_bounce)
         state, _ = shade_step(scene, state, hit, k_step, nee=nee)
 
-        if sort_rays and bounce < bounces - 1:
-            from ..ops.sort import ray_sort_key, sort_order
-
-            order = sort_order(ray_sort_key(state.ro, state.rd, state.alive,
-                                            scene_lo, scene_hi))
-            state = jax.tree.map(lambda x: x[order], state)
-            pixel_of_slot = pixel_of_slot[order]
-
-    # Scatter per-slot radiance back to pixel order.
-    radiance = jnp.zeros_like(state.radiance).at[pixel_of_slot].set(state.radiance)
-    if perm is not None:
-        inv_j = jnp.asarray(inv)
-        gbuffer = GBuffer(*(f[inv_j] for f in gbuffer))
+    radiance = state.radiance
+    if tiled:
+        radiance = from_tile_order(radiance, width, rows)
+        gbuffer = GBuffer(*(from_tile_order(f, width, rows) for f in gbuffer))
 
     return radiance, gbuffer
+
+
+def _intersect_sorted(scene, ro, rd, alive, lo, hi):
+    """Trace with rays re-sorted by octant+Morton; results return in the
+    caller's order. Packs the permuted data into single arrays so the
+    dynamic permutation costs 2 gathers + argsort + scatter total."""
+    from ..ops.sort import ray_sort_key, sort_order
+
+    R = ro.shape[0]
+    order = sort_order(ray_sort_key(ro, rd, alive, lo, hi))
+    packed = jnp.concatenate(
+        [ro, rd, alive.astype(jnp.float32)[:, None]], axis=1)[order]
+    hit = intersect_any(scene, packed[:, 0:3], packed[:, 3:6],
+                        active=packed[:, 6] > 0.5)
+    out = jnp.concatenate(
+        [hit.t[:, None], hit.u[:, None], hit.v[:, None],
+         lax_bitcast(hit.tri)], axis=1)
+    # Scatter back to caller order (one scatter instead of four).
+    unsorted = jnp.zeros_like(out).at[order].set(out)
+    tri = lax_bitcast_i32(unsorted[:, 3])
+    from ..ops.intersect import Hit
+
+    return Hit(unsorted[:, 0], tri, unsorted[:, 1], unsorted[:, 2])
+
+
+def lax_bitcast(x_i32):
+    import jax.lax as lax
+
+    return lax.bitcast_convert_type(x_i32, jnp.float32)[:, None]
+
+
+def lax_bitcast_i32(x_f32):
+    import jax.lax as lax
+
+    return lax.bitcast_convert_type(x_f32, jnp.int32)
 
 
 def accumulate(accum: jnp.ndarray, sample: jnp.ndarray,

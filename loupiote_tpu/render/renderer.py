@@ -45,6 +45,10 @@ class RenderState:
     gb_mesh: jnp.ndarray  # (H, W) int32
     gb_albedo: jnp.ndarray  # (H, W, 3)
     motion: jnp.ndarray  # (H, W, 2) uv motion vectors
+    # Blue-noise texture (renderer.rs:620-664); (Hn, Wn, 2) float32 in
+    # [0,1). Consumed for first-bounce AA jitter with a per-frame R2
+    # Cranley-Patterson rotation when use_noise is on.
+    noise_tex: jnp.ndarray
     # A-SVGF ping-pong state (denoise/asvgf.py; reference asvgf.rs:9-152).
     asvgf_illum: jnp.ndarray  # (H, W, 3) integrated illumination
     asvgf_moments: jnp.ndarray  # (H, W, 2)
@@ -65,6 +69,7 @@ def _init_state(width: int, height: int, seed: int = 0) -> RenderState:
         gb_mesh=jnp.full((h, w), -1, jnp.int32),
         gb_albedo=jnp.ones((h, w, 3), jnp.float32),
         motion=jnp.zeros((h, w, 2), jnp.float32),
+        noise_tex=jnp.full((64, 64, 2), 0.5, jnp.float32),
         asvgf_illum=jnp.zeros((h, w, 3), jnp.float32),
         asvgf_moments=jnp.zeros((h, w, 2), jnp.float32),
         asvgf_history=jnp.zeros((h, w), jnp.float32),
@@ -85,13 +90,15 @@ def _project_uv(world_to_screen: jnp.ndarray, pos: jnp.ndarray):
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "bounces",
                                              "nee", "vfov", "mode",
-                                             "atrous_iterations"))
+                                             "atrous_iterations",
+                                             "use_noise"))
 def render_frame(scene: SceneBuffers, state: RenderState,
                  cam_to_world: jnp.ndarray, world_to_screen: jnp.ndarray,
                  accumulate_flag: jnp.ndarray, *, width: int, height: int,
                  bounces: int, nee: bool, vfov: float,
                  mode: str = "pathtrace",
-                 atrous_iterations: int = 4) -> RenderState:
+                 atrous_iterations: int = 4,
+                 use_noise: bool = False) -> RenderState:
     """One progressive frame (raytrace() analog, renderer.rs:392-549).
 
     ``mode``: 'pathtrace' runs progressive accumulation; 'denoised' runs the
@@ -99,8 +106,20 @@ def render_frame(scene: SceneBuffers, state: RenderState,
     (debug blit modes) — mirroring the match at renderer.rs:512-540.
     """
     key, k_frame = jax.random.split(state.key)
+    jitter = None
+    if use_noise:
+        # Blue-noise AA jitter with per-frame R2 Cranley-Patterson rotation
+        # (RadianceParameters.use_noise_texture analog, renderer.rs:666-673).
+        hn, wn = state.noise_tex.shape[:2]
+        yy, xx = jnp.meshgrid(jnp.arange(height) % hn, jnp.arange(width) % wn,
+                              indexing="ij")
+        base = state.noise_tex[yy.reshape(-1), xx.reshape(-1)]  # (R, 2)
+        g = jnp.asarray([0.7548776662, 0.5698402910])  # R2 sequence
+        rot = (state.frame_count.astype(jnp.float32) * g) % 1.0
+        jitter = (base + rot) % 1.0
     sample, gb = trace_paths(scene, cam_to_world, width, height, k_frame,
-                             bounces=bounces, vfov=vfov, nee=nee)
+                             bounces=bounces, vfov=vfov, nee=nee,
+                             jitter=jitter)
     img = sample.reshape(height, width, 3)
 
     # Motion vectors: previous-frame screen uv minus current pixel uv
@@ -181,6 +200,8 @@ class Renderer:
         w, h = downsampled_size(w, h, self.downsample_factor)
         self.size = (max(w, 1), max(h, 1))
         self.state = _init_state(self.size[0], self.size[1], self._seed)
+        if self.noise_texture is not None:
+            self.upload_noise_texture(self.noise_texture)
 
     def resize(self, size: tuple) -> None:
         """Realloc frame state (renderer.rs:326-358)."""
@@ -196,7 +217,10 @@ class Renderer:
         self.state = self.state.replace(frame_count=jnp.int32(1))
 
     def upload_noise_texture(self, data: np.ndarray) -> None:
+        """Bind a blue-noise texture (renderer.rs:620-664)."""
         self.noise_texture = np.asarray(data, np.uint8)
+        tex = (self.noise_texture[..., :2].astype(np.float32) + 0.5) / 256.0
+        self.state = self.state.replace(noise_tex=jnp.asarray(tex))
 
     def use_noise_texture(self, flag: bool) -> None:
         self.use_noise = bool(flag)
@@ -234,6 +258,7 @@ class Renderer:
             bounces=bounces, nee=self.config.nee,
             vfov=float(np.deg2rad(self.config.vfov_deg)),
             mode=mode, atrous_iterations=self.config.atrous_iterations,
+            use_noise=self.use_noise and self.noise_texture is not None,
         )
 
     # -- display -----------------------------------------------------------

@@ -93,8 +93,9 @@ class SceneBuffers:
 
     # Shading attribute packs: ONE row gather per hit instead of ~11
     # (gathers cost ~row-count, not row-width, on TPU).
-    # tri_shade: [n0(3), n1(3), n2(3), uv0(2), uv1(2), uv2(2), mat, inst]
-    tri_shade: jnp.ndarray = None  # (T, 17) float32 (ints bitcast)
+    # tri_shade: [n0(3), n1(3), n2(3), uv0(2), uv1(2), uv2(2), mat, inst,
+    #             geometric_normal(3)]
+    tri_shade: jnp.ndarray = None  # (T, 20) float32 (ints bitcast)
     # mat_pack: [color(4), roughness, metallic, emission(3), albedo_tex,
     #            mra_tex] (tex ids bitcast)
     mat_pack: jnp.ndarray = None  # (M, 11) float32
@@ -273,11 +274,14 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
     def _i32col(v):
         return v.astype(np.int32).view(np.float32)[:, None]
 
+    geo_n = np.cross(p1 - p0, p2 - p0)
+    geo_n = geo_n / np.maximum(np.linalg.norm(geo_n, axis=1, keepdims=True), 1e-20)
     tri_shade = np.concatenate([
         padt(n0), padt(n1), padt(n2),
         pad_rows(uv0, Tp), pad_rows(uv1, Tp), pad_rows(uv2, Tp),
         pad_rows(tri_mat, Tp, 0).astype(np.int32).view(np.float32)[:, None],
         pad_rows(tri_inst, Tp, -1).astype(np.int32).view(np.float32)[:, None],
+        padt(geo_n.astype(np.float32)),
     ], axis=1).astype(np.float32)
     mat_pack = np.concatenate([
         mat_color,
