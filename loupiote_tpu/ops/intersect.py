@@ -301,9 +301,25 @@ def _pallas_enabled() -> bool:
 
 def intersect_any(scene, ro, rd, tmax=None, active=None,
                   any_hit: bool = False) -> Hit:
-    """Dispatch: Pallas sub-packet kernel on TPU, XLA packets elsewhere,
-    per-ray SIMT for odd batch sizes."""
+    """Dispatch: Pallas sub-packet kernel on TPU, XLA packets elsewhere.
+
+    Odd batch sizes are padded with inactive rays up to the packet size —
+    the per-ray SIMT path is ~100x slower and only remains as the tiny-batch
+    (< 1 packet) and correctness-oracle path.
+    """
     R = ro.shape[0]
+    pad = (-R) % PACKET_SIZE
+    if pad and R >= PACKET_SIZE // 2:
+        zeros3 = jnp.zeros((pad, 3), ro.dtype)
+        ro_p = jnp.concatenate([ro, zeros3])
+        rd_p = jnp.concatenate([rd, jnp.ones((pad, 3), rd.dtype)])
+        tmax_p = (None if tmax is None
+                  else jnp.concatenate([tmax, jnp.zeros(pad, tmax.dtype)]))
+        act = jnp.ones(R, jnp.bool_) if active is None else active
+        act_p = jnp.concatenate([act, jnp.zeros(pad, jnp.bool_)])
+        hit = intersect_any(scene, ro_p, rd_p, tmax=tmax_p, active=act_p,
+                            any_hit=any_hit)
+        return Hit(hit.t[:R], hit.tri[:R], hit.u[:R], hit.v[:R])
     if R % PACKET_SIZE == 0 and _pallas_enabled():
         from .pallas_intersect import intersect_pallas
 

@@ -226,11 +226,19 @@ def sample_light(scene, surf_pos, u_sel, u1, u2):
     Returns (wi (R,3), dist (R,), emitted (R,3), pdf_sa (R,)).
     """
     nl = max(scene.num_lights, 1)
-    li = jnp.minimum((u_sel * nl).astype(jnp.int32), nl - 1)
-    o = scene.light_origin[li]
-    eu = scene.light_eu[li]
-    ev = scene.light_ev[li]
-    emit = scene.light_emission[li]
+    if nl == 1:
+        # Single light (the common case): broadcast instead of gathering.
+        R = surf_pos.shape[0]
+        o = jnp.broadcast_to(scene.light_origin[0], (R, 3))
+        eu = jnp.broadcast_to(scene.light_eu[0], (R, 3))
+        ev = jnp.broadcast_to(scene.light_ev[0], (R, 3))
+        emit = jnp.broadcast_to(scene.light_emission[0], (R, 3))
+    else:
+        li = jnp.minimum((u_sel * nl).astype(jnp.int32), nl - 1)
+        o = scene.light_origin[li]
+        eu = scene.light_eu[li]
+        ev = scene.light_ev[li]
+        emit = scene.light_emission[li]
     q = o + eu * u1[:, None] + ev * u2[:, None]
     nrm = jnp.cross(eu, ev)
     area = jnp.linalg.norm(nrm, axis=1)
