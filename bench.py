@@ -1,10 +1,14 @@
 """Benchmark: Sponza-scale path tracing throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Headline metric (BASELINE.json): Mrays/s/chip at 1080p on a ~260k-triangle
-architectural scene (procedural stand-in; the Sponza asset is not mounted),
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+Headline (BASELINE.json): Mrays/s/chip at 1080p on a ~260k-triangle
+architectural scene (procedural Sponza stand-in; the asset is not mounted),
 3 bounces + NEE — the reference's frame shape (renderer.rs:398-399).
-vs_baseline is measured against the 100 Mrays/s/chip north-star target.
+vs_baseline measures against the 100 Mrays/s/chip north-star target.
+
+Extras cover the other BASELINE configs: primary-wave throughput, and the
+Cornell 1080p-window interactive frame (1 spp + A-SVGF at the reference's
+0.5x internal resolution).
 """
 
 import json
@@ -12,6 +16,18 @@ import sys
 import time
 
 import numpy as np
+
+
+def _timeit(fn, n, *args):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / n, out
 
 
 def main():
@@ -23,63 +39,81 @@ def main():
     import jax.numpy as jnp
     import jax.random as jr
 
-    from loupiote_tpu.render.integrator import trace_paths
-    from loupiote_tpu.scene import build_scene_buffers
+    from loupiote_tpu.config import BlitMode, RenderConfig
+    from loupiote_tpu.ops.pallas_intersect import intersect_pallas
+    from loupiote_tpu.ops.raygen import generate_rays
+    from loupiote_tpu.render import Renderer
+    from loupiote_tpu.render.integrator import to_tile_order, trace_paths
+    from loupiote_tpu.scene import (Light, Scene, build_scene_buffers,
+                                    load_gltf_path)
     from loupiote_tpu.scene.procedural import arch_camera, build_arch_scene
 
     width, height = 1920, 1080
     bounces = 3
+    extra = {"device": str(jax.devices()[0])}
 
+    # --- Headline: arch-260k full frame at 1080p. ---------------------------
     t0 = time.time()
     scene = build_arch_scene(260_000)
-    stats = scene.stats()
     bufs = build_scene_buffers(scene)
-    build_s = time.time() - t0
-
+    extra["scene_build_s"] = round(time.time() - t0, 1)
+    extra["triangles"] = scene.stats()["triangles"]
     cam = jnp.asarray(arch_camera())
 
-    def frame(key):
-        rad, _ = trace_paths(bufs, cam, width, height, key, bounces=bounces)
-        return rad
-
-    frame_jit = jax.jit(frame)
-
-    # Warmup + compile.
+    frame_jit = jax.jit(lambda k: trace_paths(bufs, cam, width, height, k,
+                                              bounces=bounces)[0])
     t0 = time.time()
-    out = frame_jit(jr.PRNGKey(0))
-    out.block_until_ready()
-    compile_s = time.time() - t0
+    dt, out = _timeit(frame_jit, 4, jr.PRNGKey(0))
+    extra["compile_s"] = round(time.time() - t0 - 4 * dt, 1)
 
-    n_frames = 4
-    t0 = time.time()
-    for i in range(n_frames):
-        out = frame_jit(jr.PRNGKey(i + 1))
-    out.block_until_ready()
-    elapsed = time.time() - t0
-
-    hit_frac = float((np.asarray(out).reshape(-1, 3).sum(1) > 0).mean())
     pixels = width * height
-    # Path segments actually traced per frame: primary + (bounces-1)
-    # continuation waves + one NEE shadow ray per path vertex.
-    path_rays = pixels * bounces
-    shadow_rays = pixels * bounces  # quad-light NEE (no probe bound here)
-    rays_per_frame = path_rays + shadow_rays
-    mrays = rays_per_frame * n_frames / elapsed / 1e6
+    rays_per_frame = pixels * bounces * 2  # path segments + NEE shadow rays
+    mrays = rays_per_frame / dt / 1e6
+    extra["frame_ms"] = round(dt * 1000, 1)
+    extra["nonzero_pixel_frac"] = round(
+        float((np.asarray(out).reshape(-1, 3).sum(1) > 0).mean()), 3)
+
+    # --- Extra: primary-wave traversal throughput (coherent). ---------------
+    key = jr.PRNGKey(1)
+    ro, rd = generate_rays(cam, width, height, 0.785,
+                           jr.uniform(key, (pixels, 2)))
+    ro = to_tile_order(ro, width, height)
+    rd = to_tile_order(rd, width, height)
+    prim = jax.jit(lambda ro, rd: intersect_pallas(bufs, ro, rd).t)
+    dtp, _ = _timeit(prim, 4, ro, rd)
+    extra["primary_mrays"] = round(pixels / dtp / 1e6, 1)
+
+    # --- Extra: Cornell 1080p-window interactive (config[2]). ---------------
+    s2 = Scene.default()
+    load_gltf_path("/root/reference/assets/cornell-box.glb", s2)
+    s2.lights = [Light(
+        origin=np.array([-1.0, 3.55, -0.8], np.float32),
+        edge_u=np.array([2.0, 0.0, 0.0], np.float32),
+        edge_v=np.array([0.0, 0.0, 1.6], np.float32),
+        emission=np.array([1.0, 0.95, 0.9], np.float32), intensity=20.0)]
+    bufs2 = build_scene_buffers(s2)
+    cam2 = np.eye(4, dtype=np.float32)
+    cam2[:3, 0], cam2[:3, 1] = [1, 0, 0], [0, 1, 0]
+    cam2[:3, 2], cam2[:3, 3] = [0, 0, -1], [0, 0.6, 12]
+    r = Renderer((width, height), RenderConfig(downsample_factor=0.5))
+    r.set_resources(bufs2)
+    r.set_blit_mode(BlitMode.DENOISED_PATHTRACE)
+    r.raytrace(cam2)
+    jax.block_until_ready(r.state.denoised)
+    t0 = time.time()
+    for _ in range(6):
+        r.raytrace(cam2)
+    jax.block_until_ready(r.state.denoised)
+    dtc = (time.time() - t0) / 6
+    extra["cornell_1spp_svgf_ms"] = round(dtc * 1000, 1)
+    extra["cornell_fps"] = round(1.0 / dtc, 1)
 
     result = {
         "metric": "arch260k_1080p_3bounce_nee_mrays_per_s_per_chip",
         "value": round(mrays, 2),
         "unit": "Mrays/s/chip",
         "vs_baseline": round(mrays / 100.0, 3),
-        "extra": {
-            "frame_ms": round(elapsed / n_frames * 1000, 1),
-            "path_mrays_only": round(path_rays * n_frames / elapsed / 1e6, 2),
-            "triangles": stats["triangles"],
-            "compile_s": round(compile_s, 1),
-            "scene_build_s": round(build_s, 1),
-            "nonzero_pixel_frac": round(hit_frac, 3),
-            "device": str(jax.devices()[0]),
-        },
+        "extra": extra,
     }
     print(json.dumps(result))
 
