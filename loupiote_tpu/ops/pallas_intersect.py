@@ -51,7 +51,7 @@ def _traverse_kernel(node_ref, leaf_ref,
                      act_ref,
                      t_out, u_out, v_out, tri_out,
                      stack_ref, *, end_index: int, any_hit: bool,
-                     max_steps: int):
+                     max_steps: int, leaf_cap: int = LEAF_CAP):
     ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
     act = act_ref[0]  # (8,128) int32 0/1 active mask
@@ -133,7 +133,7 @@ def _traverse_kernel(node_ref, leaf_ref,
 
         new_t, new_u, new_v, new_tri = t, u, v, tri
         new_blocked = blocked
-        for k in range(LEAF_CAP):
+        for k in range(leaf_cap):
             base = 9 * k
             p0x = _bc(lrows[:, base + 0: base + 1])
             p0y = _bc(lrows[:, base + 1: base + 2])
@@ -231,13 +231,13 @@ def _traverse_kernel(node_ref, leaf_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("any_hit", "end_index", "num_nodes",
-                                    "interpret"))
+                                    "interpret", "leaf_cap"))
 def _pallas_trace(node_rows, leaf_rows, ox, oy, oz, dx, dy, dz, t0, act,
                   *, any_hit: bool, end_index: int, num_nodes: int,
-                  interpret: bool = False):
+                  interpret: bool = False, leaf_cap: int = LEAF_CAP):
     G = ox.shape[0]
     kernel = functools.partial(_traverse_kernel, end_index=end_index,
-                               any_hit=any_hit,
+                               any_hit=any_hit, leaf_cap=leaf_cap,
                                max_steps=4 * num_nodes + 64)
     grid_spec = pl.GridSpec(
         grid=(G,),
@@ -291,7 +291,8 @@ def intersect_pallas(scene, ro, rd, tmax=None, active=None,
         shape(rd[:, 0]), shape(rd[:, 1]), shape(rd[:, 2]),
         shape(t0), shape(act),
         any_hit=any_hit, end_index=int(scene.end_index),
-        num_nodes=int(scene.num_nodes), interpret=interpret)
+        num_nodes=int(scene.num_nodes), interpret=interpret,
+        leaf_cap=int(getattr(scene, "leaf_cap", LEAF_CAP)))
 
     tri = tri.reshape(R)
     if active is not None:

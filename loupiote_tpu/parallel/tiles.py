@@ -96,3 +96,79 @@ def replicate_scene(scene, mesh: Mesh):
     """Place every scene array replicated across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda a: jax.device_put(a, sharding), scene)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "width", "height", "bounces",
+                                    "nee", "vfov", "mode",
+                                    "atrous_iterations"))
+def render_frame_sharded(scene, state, cam_to_world, world_to_screen,
+                         accumulate_flag, *, mesh: Mesh, width: int,
+                         height: int, bounces: int, nee: bool, vfov: float,
+                         mode: str = "pathtrace", atrous_iterations: int = 4):
+    """Multi-chip render_frame: row slabs trace across the 'tiles' mesh axis
+    (+ optional 'spp' sample parallelism); the gathered frame then runs the
+    same replicated post-process (accumulation or A-SVGF) as the single-chip
+    path. Mirrors render/renderer.py::render_frame semantics."""
+    import jax.numpy as jnp
+
+    from ..render.integrator import GBuffer, accumulate
+    from ..render.renderer import _project_uv
+
+    key, k_frame = jax.random.split(state.key)
+    img, gbuf = trace_paths_sharded(scene, cam_to_world, k_frame, mesh=mesh,
+                                    width=width, height=height,
+                                    bounces=bounces, nee=nee, vfov=vfov,
+                                    spp=mesh.shape["spp"])
+
+    gb = GBuffer(normal=gbuf["normal"].reshape(-1, 3),
+                 depth=gbuf["depth"].reshape(-1),
+                 mesh_id=gbuf["mesh_id"].reshape(-1),
+                 albedo=gbuf["albedo"].reshape(-1, 3),
+                 world_pos=gbuf["world_pos"].reshape(-1, 3))
+
+    uv_prev, w_prev = _project_uv(state.prev_world_to_screen, gb.world_pos)
+    yy, xx = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
+                          jnp.arange(width, dtype=jnp.float32), indexing="ij")
+    uv_curr = jnp.stack([(xx.reshape(-1) + 0.5) / width,
+                         (yy.reshape(-1) + 0.5) / height], axis=1)
+    valid = (gb.mesh_id >= 0) & (w_prev > 0)
+    motion = (jnp.where(valid[:, None], uv_prev - uv_curr, 0.0)
+              .reshape(height, width, 2))
+
+    curr_normal = gb.normal.reshape(height, width, 3)
+    curr_depth = gb.depth.reshape(height, width)
+    curr_mesh = gb.mesh_id.reshape(height, width)
+    curr_albedo = gb.albedo.reshape(height, width, 3)
+
+    new = dict(key=key, prev_world_to_screen=world_to_screen,
+               gb_normal=curr_normal, gb_depth=curr_depth,
+               gb_mesh=curr_mesh, gb_albedo=curr_albedo, motion=motion)
+
+    if mode == "pathtrace":
+        new["accum"] = accumulate(state.accum, img, state.frame_count)
+        new["frame_count"] = jnp.where(accumulate_flag,
+                                       state.frame_count + 1, jnp.int32(1))
+    elif mode in ("denoised", "temporal"):
+        from ..denoise.asvgf import denoise, demodulate, modulate, temporal_reproject
+
+        if mode == "denoised":
+            out, t = denoise(img, curr_albedo, motion, curr_normal,
+                             curr_depth, curr_mesh, state.gb_normal,
+                             state.gb_depth, state.gb_mesh,
+                             state.asvgf_illum, state.asvgf_moments,
+                             state.asvgf_history,
+                             iterations=atrous_iterations)
+            new["denoised"] = out
+        else:
+            t = temporal_reproject(
+                demodulate(img, curr_albedo), motion, curr_normal,
+                curr_depth, curr_mesh, state.gb_normal, state.gb_depth,
+                state.gb_mesh, state.asvgf_illum, state.asvgf_moments,
+                state.asvgf_history)
+        new["asvgf_illum"] = t.illum
+        new["asvgf_moments"] = t.moments
+        new["asvgf_history"] = t.history
+        new["temporal_rgb"] = modulate(t.illum, curr_albedo)
+
+    return state.replace(**new)

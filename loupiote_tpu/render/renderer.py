@@ -182,10 +182,14 @@ class Renderer:
     """Stateful façade over the jitted pipeline (Renderer analog)."""
 
     def __init__(self, size: tuple, config: Optional[RenderConfig] = None,
-                 seed: int = 0):
+                 seed: int = 0, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh with ('tiles','spp') axes —
+        frames then trace tile-parallel across devices
+        (parallel/tiles.py::render_frame_sharded)."""
         self.config = config or RenderConfig()
         self.downsample_factor = self.config.downsample_factor
         self._seed = seed
+        self.mesh = mesh
         self.accumulate = False
         self.mode = BlitMode.PATHTRACE
         self.use_noise = False
@@ -198,6 +202,10 @@ class Renderer:
     def _set_size(self, size: tuple) -> None:
         w, h = clamp_size(size[0], size[1], self.config)
         w, h = downsampled_size(w, h, self.downsample_factor)
+        if self.mesh is not None:
+            # Row slabs must divide across the 'tiles' axis.
+            tiles = self.mesh.shape["tiles"]
+            h = max((h // tiles) * tiles, tiles)
         self.size = (max(w, 1), max(h, 1))
         self.state = _init_state(self.size[0], self.size[1], self._seed)
         if self.noise_texture is not None:
@@ -213,6 +221,10 @@ class Renderer:
     # -- resources ---------------------------------------------------------
     def set_resources(self, scene: SceneBuffers) -> None:
         """Bind a scene; resets accumulation (renderer.rs:687-725)."""
+        if self.mesh is not None:
+            from ..parallel.tiles import replicate_scene
+
+            scene = replicate_scene(scene, self.mesh)
         self.scene = scene
         self.state = self.state.replace(frame_count=jnp.int32(1))
 
@@ -249,6 +261,21 @@ class Renderer:
             BlitMode.GBUFFER: "none",
             BlitMode.MOTION_VECTOR: "none",
         }[self.mode]
+        if self.mesh is not None:
+            from ..parallel.tiles import render_frame_sharded
+
+            self.state = render_frame_sharded(
+                self.scene, self.state,
+                jnp.asarray(cam.transform),
+                jnp.asarray(cam.world_to_screen(self.config.near,
+                                                self.config.far)),
+                jnp.bool_(self.accumulate),
+                mesh=self.mesh, width=self.size[0], height=self.size[1],
+                bounces=bounces, nee=self.config.nee,
+                vfov=float(np.deg2rad(self.config.vfov_deg)),
+                mode=mode, atrous_iterations=self.config.atrous_iterations,
+            )
+            return
         self.state = render_frame(
             self.scene, self.state,
             jnp.asarray(cam.transform),

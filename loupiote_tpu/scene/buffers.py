@@ -90,6 +90,9 @@ class SceneBuffers:
     node_rows: jnp.ndarray = None  # (N, 16) float32
     leaf_rows: jnp.ndarray = None  # (L, 128) float32
     num_leaves: int = struct.field(pytree_node=False, default=0)
+    # Actual max triangles per leaf (<= LEAF_MAX): the Pallas kernel unrolls
+    # its Moller-Trumbore loop only this far.
+    leaf_cap: int = struct.field(pytree_node=False, default=14)
 
     # Shading attribute packs: ONE row gather per hit instead of ~11
     # (gathers cost ~row-count, not row-width, on TPU).
@@ -112,7 +115,8 @@ class SceneBuffers:
 
 
 def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
-                        atlas_size: int = 2048) -> SceneBuffers:
+                        atlas_size: int = 2048,
+                        leaf_max: Optional[int] = None) -> SceneBuffers:
     """Flatten + BVH-build + upload (SceneGPU::new_from_scene analog)."""
     p0s, p1s, p2s = [], [], []
     n0s, n1s, n2s = [], [], []
@@ -176,7 +180,9 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
     p0 = np.concatenate(p0s).astype(np.float32)
     p1 = np.concatenate(p1s).astype(np.float32)
     p2 = np.concatenate(p2s).astype(np.float32)
-    bvh: FlatBVH = build_bvh(p0, p1, p2)
+    from ..accel.bvh import LEAF_MAX as _LM
+
+    bvh: FlatBVH = build_bvh(p0, p1, p2, leaf_max=min(leaf_max or _LM, _LM))
     order = bvh.tri_order
 
     def cat(parts):
@@ -355,6 +361,7 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
         node_rows=jnp.asarray(node_rows),
         leaf_rows=jnp.asarray(leaf_rows),
         num_leaves=L,
+        leaf_cap=int(bvh.count.max()) if bvh.count.size else 1,
         tri_shade=jnp.asarray(tri_shade),
         mat_pack=jnp.asarray(mat_pack),
         num_tris=T,

@@ -1,0 +1,46 @@
+"""Golden-image regression: Cornell render PSNR vs a stored 48-spp golden.
+
+The BASELINE metric names "Cornell PSNR vs ref"; with the reference's WGSL
+kernels unmounted, the golden is this renderer's own converged output —
+catching any regression in raygen/traversal/shading/NEE/MIS math.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+
+from loupiote_tpu.render.integrator import trace_paths
+from loupiote_tpu.scene import Scene, build_scene_buffers
+
+from test_render import CORNELL_CAM, cornell_with_light
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
+                      "cornell_32x32_48spp.npy")
+
+
+def psnr(a, b, peak=None):
+    peak = peak or max(b.max(), 1e-6)
+    mse = np.mean((a - b) ** 2)
+    return 10.0 * np.log10(peak * peak / max(mse, 1e-12))
+
+
+def test_cornell_psnr_vs_golden(cornell_scene):
+    golden = np.load(GOLDEN)
+    bufs = build_scene_buffers(cornell_with_light(cornell_scene))
+    f = jax.jit(lambda k: trace_paths(bufs, jnp.asarray(CORNELL_CAM),
+                                      32, 32, k, bounces=3)[0])
+    acc = 0.0
+    n = 16
+    for i in range(n):
+        acc = acc + np.asarray(f(jr.PRNGKey(i)))  # disjoint seeds vs golden
+    img = (acc / n).reshape(32, 32, 3)
+    p = psnr(img, golden)
+    # 16-spp vs 48-spp Monte Carlo noise floor is ~24 dB here; a math
+    # regression (wrong pdf, flipped normal, bad MIS weight) drops it far
+    # below. Keep margin for seed variance.
+    assert p > 20.0, f"PSNR vs golden = {p:.1f} dB"
+    # Means agree tightly (unbiasedness).
+    assert abs(img.mean() - golden.mean()) < 0.05 * golden.mean()
