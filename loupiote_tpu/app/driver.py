@@ -73,6 +73,12 @@ class Driver:
 
             self.probe = build_probe(read_hdr(data))
 
+    def load_binary_path(self, path: str) -> None:
+        """Raw binary mesh (loaders/binary.rs format)."""
+        if not os.path.exists(path):
+            raise FileNotFound(path)
+        load_binary_from_path(path, self.scene)
+
     def load_env_path(self, path: str) -> None:
         if not os.path.exists(path):
             raise FileNotFound(path)

@@ -12,7 +12,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..render.integrator import trace_paths  # noqa: F401 (API surface)
 from .intersect import intersect_any
 from .sampling import cosine_sample_hemisphere, orthonormal_basis, to_world
 from .shade import EPS_OFFSET, BounceState, shade_step

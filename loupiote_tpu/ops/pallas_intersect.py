@@ -25,7 +25,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -37,9 +36,6 @@ SUBP = 128  # rays per sub-packet (lanes)
 TILE = SUB * SUBP
 STACK = 64
 LEAF_CAP = 14
-
-_NEG = -1e30
-
 
 def _bc(col):
     """(8,1) -> (8,128) lane broadcast."""
@@ -69,9 +65,6 @@ def _traverse_kernel(node_ref, leaf_ref,
 
     t0 = t0_ref[0]
 
-    class Carry(tuple):
-        pass
-
     # Scalar state per sub-packet lives as (8,1) int32 columns; scalar
     # stack ops extract per-row values with static indices.
     node0 = jnp.zeros((SUB, 1), jnp.int32)
@@ -95,7 +88,6 @@ def _traverse_kernel(node_ref, leaf_ref,
         bminx, bminy, bminz = (_bc(nrow[:, i:i + 1]) for i in range(3))
         bmaxx, bmaxy, bmaxz = (_bc(nrow[:, i:i + 1]) for i in range(3, 6))
         count = lax.bitcast_convert_type(nrow[:, 6:7], jnp.int32)  # (8,1)
-        miss = lax.bitcast_convert_type(nrow[:, 7:8], jnp.int32)
         slot8 = lax.bitcast_convert_type(nrow[:, 8:9], jnp.int32)  # right|leaf_row
         slot9 = lax.bitcast_convert_type(nrow[:, 9:10], jnp.int32)  # axis|first
 

@@ -21,7 +21,6 @@ behavior-preserving and removes a level of indirection from the hot loop).
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass, field
 from typing import List, Optional
 

@@ -14,7 +14,8 @@ from test_bvh import random_tris
 
 
 @pytest.fixture(scope="module")
-def tri_scene(rng):
+def tri_scene():
+    rng = np.random.default_rng(1234)  # own stream: order-independent
     n = 300
     v0, v1, v2 = random_tris(rng, n, spread=10.0, size=1.0)
     scene = Scene.default()
@@ -25,7 +26,8 @@ def tri_scene(rng):
     return build_scene_buffers(scene), (v0, v1, v2)
 
 
-def _rays(rng, tris, R):
+def _rays(tris, R, seed=77):
+    rng = np.random.default_rng(seed)
     v0, v1, _ = tris
     n = len(v0)
     ro = ((rng.random((R, 3)) - 0.5) * 25).astype(np.float32)
@@ -36,9 +38,9 @@ def _rays(rng, tris, R):
     return jnp.asarray(ro), jnp.asarray(rd)
 
 
-def test_pallas_matches_simt(tri_scene, rng):
+def test_pallas_matches_simt(tri_scene):
     bufs, tris = tri_scene
-    ro, rd = _rays(rng, tris, TILE)
+    ro, rd = _rays(tris, TILE)
     ref = intersect_rays(bufs, ro, rd)
     out = intersect_pallas(bufs, ro, rd, interpret=True)
     np.testing.assert_allclose(np.asarray(out.t), np.asarray(ref.t), rtol=1e-4)
@@ -52,9 +54,9 @@ def test_pallas_matches_simt(tri_scene, rng):
                                np.asarray(ref.u)[same_tri], atol=1e-4)
 
 
-def test_pallas_anyhit_matches(tri_scene, rng):
+def test_pallas_anyhit_matches(tri_scene):
     bufs, tris = tri_scene
-    ro, rd = _rays(rng, tris, TILE)
+    ro, rd = _rays(tris, TILE, seed=78)
     dist = jnp.full(TILE, 5.0)
     ref = intersect_rays(bufs, ro, rd, tmax=dist, any_hit=True)
     out = intersect_pallas(bufs, ro, rd, tmax=dist, any_hit=True, interpret=True)
@@ -62,10 +64,10 @@ def test_pallas_anyhit_matches(tri_scene, rng):
                                   np.asarray(ref.tri) >= 0)
 
 
-def test_pallas_active_mask(tri_scene, rng):
+def test_pallas_active_mask(tri_scene):
     bufs, tris = tri_scene
-    ro, rd = _rays(rng, tris, TILE)
-    active = jnp.asarray(rng.random(TILE) < 0.5)
+    ro, rd = _rays(tris, TILE, seed=79)
+    active = jnp.asarray(np.random.default_rng(80).random(TILE) < 0.5)
     out = intersect_pallas(bufs, ro, rd, active=active, interpret=True)
     tri = np.asarray(out.tri)
     assert (tri[~np.asarray(active)] == -1).all()
