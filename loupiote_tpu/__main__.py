@@ -30,6 +30,9 @@ def _add_common(p):
                    help="x,y,z,dx,dy,dz (reference default app.rs:64-68)")
     p.add_argument("--blue-noise", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fit-light", type=float, metavar="INTENSITY", default=None,
+                   help="replace lights with an overhead quad sized to the "
+                        "scene bounds at the given intensity")
 
 
 def _setup(args):
@@ -47,6 +50,8 @@ def _setup(args):
     if args.blue_noise:
         d.load_blue_noise()
         d.settings.use_blue_noise = True
+    if args.fit_light is not None:
+        d.scene.fit_default_light(args.fit_light)
     d.upload_scene()
 
     mode = {"pathtrace": BlitMode.PATHTRACE, "denoised": BlitMode.DENOISED_PATHTRACE,

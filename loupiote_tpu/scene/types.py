@@ -54,7 +54,24 @@ class Light:
     edge_u: np.ndarray = field(default_factory=lambda: np.array([1.0, 0.0, 0.0], np.float32))
     edge_v: np.ndarray = field(default_factory=lambda: np.array([0.0, 0.0, 1.0], np.float32))
     emission: np.ndarray = field(default_factory=lambda: np.array([1.0, 1.0, 1.0], np.float32))
-    intensity: float = 1.0
+    intensity: float = 10.0
+
+    @staticmethod
+    def fit_to_scene(bounds_min, bounds_max, intensity: float = 10.0) -> "Light":
+        """Overhead quad light sized/placed for the given scene bounds."""
+        bounds_min = np.asarray(bounds_min, np.float32)
+        bounds_max = np.asarray(bounds_max, np.float32)
+        ext = bounds_max - bounds_min
+        cx = (bounds_min + bounds_max) * 0.5
+        w = max(float(ext[0]) * 0.3, 1e-3)
+        d = max(float(ext[2]) * 0.3, 1e-3)
+        y = float(bounds_max[1]) - 0.02 * max(float(ext[1]), 1e-3)
+        return Light(
+            origin=np.array([cx[0] - w / 2, y, cx[2] - d / 2], np.float32),
+            edge_u=np.array([w, 0.0, 0.0], np.float32),
+            edge_v=np.array([0.0, 0.0, d], np.float32),
+            emission=np.array([1.0, 0.98, 0.95], np.float32),
+            intensity=intensity)
 
 
 @dataclass
@@ -113,6 +130,25 @@ class Scene:
     def add_default_light_if_empty(self) -> None:
         if not self.lights:
             self.lights.append(Light())
+
+    def bounds(self):
+        """World-space AABB over all instanced geometry (numpy)."""
+        lo = np.full(3, np.inf, np.float32)
+        hi = np.full(3, -np.inf, np.float32)
+        for inst in self.instances:
+            mesh = self.meshes[inst.mesh_index]
+            m = inst.model_to_world
+            pos = mesh.positions @ m[:3, :3].T + m[:3, 3]
+            lo = np.minimum(lo, pos.min(axis=0))
+            hi = np.maximum(hi, pos.max(axis=0))
+        if not np.isfinite(lo).all():
+            lo, hi = -np.ones(3, np.float32), np.ones(3, np.float32)
+        return lo, hi
+
+    def fit_default_light(self, intensity: float = 10.0) -> None:
+        """Place an overhead quad light sized to the scene bounds."""
+        lo, hi = self.bounds()
+        self.lights = [Light.fit_to_scene(lo, hi, intensity)]
 
     # -- Stats used by the reference GUI (app.rs:216-236) -------------------
     def stats(self) -> dict:
