@@ -247,6 +247,25 @@ def _binned_sah_split(cent, tmin, tmax, bins: int = SAH_BINS):
     return best
 
 
+def bvh_max_depth(count: np.ndarray, miss: np.ndarray) -> int:
+    """Max tree depth (root = 0) of a threaded pre-order BVH.
+
+    In the DFS pre-order layout, internal node ``j``'s descendants are
+    exactly the index interval ``(j, miss[j])``; a node's depth is therefore
+    the number of such intervals containing it — computed with one
+    difference-array sweep instead of a tree walk. Used to size traversal
+    stacks (ops/intersect.py, ops/pallas_intersect.py): a stack of
+    ``max_depth + 1`` entries can never overflow.
+    """
+    n = count.shape[0]
+    internal = np.nonzero(count == 0)[0]
+    delta = np.zeros(n + 1, np.int64)
+    np.add.at(delta, internal + 1, 1)
+    np.add.at(delta, miss[internal].astype(np.int64), -1)
+    depth = np.cumsum(delta)[:n]
+    return int(depth.max()) if n else 0
+
+
 def bvh_stats(bvh: FlatBVH) -> dict:
     leaves = bvh.count > 0
     return {

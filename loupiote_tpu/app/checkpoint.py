@@ -45,12 +45,26 @@ def load_session(path: str, renderer: Renderer) -> None:
     match; resize first if needed)."""
     with open(os.path.join(path, _MANIFEST)) as f:
         manifest = json.load(f)
+    version = manifest.get("version")
+    if version != 1:
+        raise ValueError(f"unsupported checkpoint version {version!r} "
+                         f"(this build reads version 1)")
     size = tuple(manifest["size"])
     if tuple(renderer.size) != size:
         raise ValueError(
             f"checkpoint size {size} != renderer size {renderer.size}")
     data = np.load(os.path.join(path, "state.npz"))
-    fields = {k: jnp.asarray(data[k]) for k in data.files}
+    known = set(RenderState.__dataclass_fields__)
+    unknown = sorted(set(data.files) - known)
+    if unknown:
+        raise ValueError(
+            f"checkpoint has fields unknown to this RenderState layout: "
+            f"{unknown} (written by a newer build?)")
+    # Fields added since the checkpoint was written keep the fresh-state
+    # defaults from the renderer's current (size-matched) state.
+    fields = {f: (jnp.asarray(data[f]) if f in data.files
+                  else getattr(renderer.state, f))
+              for f in known}
     renderer.state = RenderState(**fields)
     renderer.accumulate = bool(manifest["accumulate"])
     renderer.mode = BlitMode(manifest["mode"])

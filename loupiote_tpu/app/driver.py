@@ -125,6 +125,19 @@ class Driver:
         self.queries.resolve()
         self.queries.end_frame()
 
+    def measure_passes(self) -> dict:
+        """Per-pass timings for the performance window ("ray generation",
+        "primary intersection", "shading N", "asvgf" — the reference's
+        Queries labels, performance_info.rs:23-47). Dispatches the frame
+        stage-by-stage (exact per-kernel cost, loses fusion); results land
+        in ``self.queries`` and are returned."""
+        view = self.camera_controller.update(0.0)
+        self.queries.start_frame()
+        out = self.renderer.measure_passes(view, queries=self.queries)
+        self.queries.resolve()
+        self.queries.end_frame()
+        return out
+
     def save_screenshot(self, path: str) -> None:
         """PNG screenshot (app.rs:172-187, renderer.rs:727-811)."""
         from PIL import Image
@@ -142,7 +155,13 @@ class Driver:
                        out_dir: Optional[str] = None,
                        spp_at_rest: int = 1) -> List[np.ndarray]:
         """Fly the camera through origin waypoints, dumping one frame per
-        step. Returns the frames (and writes PNGs when out_dir given)."""
+        step. Returns the frames (and writes PNGs when out_dir given).
+
+        ``spp_at_rest``: extra accumulation steps taken whenever the camera
+        holds still this frame (the last frame of each leg, and any leg with
+        coincident endpoints) — the offline analog of the reference's
+        free-running accumulation while the camera is static.
+        """
         from PIL import Image
 
         frames = []
@@ -152,9 +171,14 @@ class Driver:
         for a, b in zip(waypoints[:-1], waypoints[1:]):
             for f in range(frames_per_leg):
                 t = f / max(frames_per_leg - 1, 1)
+                prev = self.camera_controller.origin.copy()
                 self.camera_controller.origin = (
                     np.asarray(a) * (1 - t) + np.asarray(b) * t).astype(np.float32)
+                moved = not np.array_equal(prev, self.camera_controller.origin)
                 self.step(dt=1.0 / 60.0)
+                if not moved and self.settings.accumulate:
+                    for _ in range(max(spp_at_rest - 1, 0)):
+                        self.step(dt=1.0 / 60.0)
                 img = self.renderer.blit()
                 frames.append(img)
                 if out_dir:

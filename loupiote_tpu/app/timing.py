@@ -64,6 +64,12 @@ class Queries:
         finally:
             self.end()
 
+    def record(self, label: str, ms: float) -> None:
+        """Record an externally measured duration under ``label`` (used by
+        Renderer.measure_passes to surface per-pass kernel timings)."""
+        if len(self._current) < self.max_queries:
+            self._current[label] = ms
+
     def resolve(self) -> None:
         """Latch this frame's timings (Queries::resolve analog)."""
         self._resolved = self._current

@@ -166,6 +166,9 @@ def intersect_packets(scene, ro, rd, tmax=None, active=None,
     assert R % P == 0, f"ray count {R} not a multiple of {P}"
     K = R // P
     end = jnp.int32(scene.end_index)
+    # Sized from the built tree's max depth (scene/buffers.py), so the
+    # clamped pushes below can never actually drop a subtree.
+    stack_depth = int(getattr(scene, "stack_depth", STACK_DEPTH))
 
     ro_p = ro.reshape(K, P, 3)
     rd_p = rd.reshape(K, P, 3)
@@ -256,14 +259,14 @@ def intersect_packets(scene, ro, rd, tmax=None, active=None,
         near = jnp.where(axis_pos, s.node + 1, right)
         far = jnp.where(axis_pos, right, s.node + 1)
         kk = jnp.arange(K)
-        new_stack = s.stack.at[kk, jnp.minimum(s.ptr, STACK_DEPTH - 1)].set(
-            jnp.where(descend, far, s.stack[kk, jnp.minimum(s.ptr, STACK_DEPTH - 1)]))
+        new_stack = s.stack.at[kk, jnp.minimum(s.ptr, stack_depth - 1)].set(
+            jnp.where(descend, far, s.stack[kk, jnp.minimum(s.ptr, stack_depth - 1)]))
         can_pop = s.ptr > 0
         pop_idx = jnp.maximum(s.ptr - 1, 0)
         popped = new_stack[kk, pop_idx]
         new_node = jnp.where(descend, near,
                              jnp.where(can_pop, popped, end))
-        new_ptr = jnp.where(descend, jnp.minimum(s.ptr + 1, STACK_DEPTH - 1),
+        new_ptr = jnp.where(descend, jnp.minimum(s.ptr + 1, stack_depth - 1),
                             jnp.maximum(s.ptr - 1, 0))
         done = s.done | (new_node == end)
         if any_hit:
@@ -275,7 +278,7 @@ def intersect_packets(scene, ro, rd, tmax=None, active=None,
     init = S(
         node=zero_k.astype(jnp.int32),
         ptr=zero_k.astype(jnp.int32),
-        stack=jnp.zeros((K, STACK_DEPTH), jnp.int32) + zero_k.astype(jnp.int32)[:, None],
+        stack=jnp.zeros((K, stack_depth), jnp.int32) + zero_k.astype(jnp.int32)[:, None],
         done=zero_k.astype(jnp.bool_) | ~jnp.any(ray_on, axis=1),
         t=t0,
         tri=zero_rp.astype(jnp.int32) + INVALID_TRI,
@@ -333,7 +336,29 @@ def intersect_any(scene, ro, rd, tmax=None, active=None,
 
 
 def occluded(scene, ro, rd, dist, active=None) -> jnp.ndarray:
-    """Shadow query: True where the segment [T_MIN, dist) is blocked."""
-    hit = intersect_any(scene, ro, rd,
-                        tmax=dist * (1.0 - 1e-3), active=active, any_hit=True)
+    """Shadow query: True where the segment [T_MIN, dist) is blocked.
+
+    On TPU this uses a specialized stackless any-hit Pallas kernel (no
+    near-first ordering, no best-hit bookkeeping — see
+    pallas_intersect._anyhit_kernel); elsewhere the generic any_hit path.
+    """
+    R = ro.shape[0]
+    tmax = dist * (1.0 - 1e-3)
+    if _pallas_enabled():
+        from .pallas_intersect import TILE, occluded_pallas
+
+        pad = (-R) % TILE
+        if pad == 0:
+            return occluded_pallas(scene, ro, rd, tmax, active=active)
+        if R >= TILE // 2:
+            act = jnp.ones(R, jnp.bool_) if active is None else active
+            out = occluded_pallas(
+                scene,
+                jnp.concatenate([ro, jnp.zeros((pad, 3), ro.dtype)]),
+                jnp.concatenate([rd, jnp.ones((pad, 3), rd.dtype)]),
+                jnp.concatenate([tmax, jnp.zeros(pad, tmax.dtype)]),
+                active=jnp.concatenate([act, jnp.zeros(pad, jnp.bool_)]))
+            return out[:R]
+    hit = intersect_any(scene, ro, rd, tmax=tmax, active=active,
+                        any_hit=True)
     return hit.tri != INVALID_TRI

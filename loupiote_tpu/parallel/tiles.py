@@ -39,26 +39,44 @@ def make_mesh(n_tiles: Optional[int] = None, n_spp: int = 1,
                                     "nee", "vfov", "spp"))
 def trace_paths_sharded(scene, cam_to_world, key, *, mesh: Mesh, width: int,
                         height: int, bounces: int = 3, nee: bool = True,
-                        vfov: float = 0.7853982, spp: int = 1):
+                        vfov: float = 0.7853982, spp: int = 1,
+                        jitter=None, nee_uv=None):
     """Sharded frame trace. Returns (radiance (H, W, 3), gbuffer dict of
     (H, W, ...) arrays), fully replicated on exit.
 
     Row slabs shard over 'tiles'; when the mesh has an 'spp' axis of size
     > 1, each spp shard traces the full slab with a different RNG fold and
     radiance is psum-averaged over 'spp' (sample parallelism).
+
+    ``jitter``/``nee_uv``: optional (H, W, 2) full-frame blue-noise planes
+    (render/renderer.py::blue_noise_uv); row slabs shard over 'tiles' along
+    with the pixels they drive, so single-chip and multi-chip renders use
+    the same deterministic sampling dimensions.
     """
     n_tiles = mesh.shape["tiles"]
     n_spp = mesh.shape["spp"]
     assert height % n_tiles == 0, (
         f"height {height} must divide by mesh tiles {n_tiles}")
     rows = height // n_tiles
+    use_noise = jitter is not None
+    if not use_noise:
+        # Constant placeholders keep shard_map's arity/specs static.
+        jitter = jnp.zeros((n_tiles, 1, 2), jnp.float32)
+        nee_uv = jnp.zeros((n_tiles, 1, 2), jnp.float32)
+    else:
+        jitter = jitter.reshape(height, width, 2)
+        nee_uv = nee_uv.reshape(height, width, 2)
 
-    def shard_fn(scene, cam_to_world, key):
+    def shard_fn(scene, cam_to_world, key, jit_slab, nee_slab):
         ti = jax.lax.axis_index("tiles")
         si = jax.lax.axis_index("spp")
         k = jax.random.fold_in(jax.random.fold_in(key[0], ti), si)
         rad, gb = trace_paths(scene, cam_to_world, width, height, k,
                               bounces=bounces, vfov=vfov, nee=nee,
+                              jitter=(jit_slab.reshape(-1, 2)
+                                      if use_noise else None),
+                              nee_uv=(nee_slab.reshape(-1, 2)
+                                      if use_noise else None),
                               row_offset=ti * rows, rows=rows)
         # Average radiance over the spp axis (each member traced a
         # different sample of the same slab).
@@ -82,13 +100,13 @@ def trace_paths_sharded(scene, cam_to_world, key, *, mesh: Mesh, width: int,
 
     shard = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P()),
+        in_specs=(P(), P(), P(), P("tiles"), P("tiles")),
         out_specs=(P("tiles"), {k: P("tiles") for k in
                                 ("normal", "depth", "mesh_id", "albedo",
                                  "world_pos")}),
     )
     # key passed as (1, 2) so it replicates cleanly under shard_map.
-    img, gbuf = shard(scene, cam_to_world, key[None])
+    img, gbuf = shard(scene, cam_to_world, key[None], jitter, nee_uv)
     return img, gbuf
 
 
@@ -101,11 +119,12 @@ def replicate_scene(scene, mesh: Mesh):
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "width", "height", "bounces",
                                     "nee", "vfov", "mode",
-                                    "atrous_iterations"))
+                                    "atrous_iterations", "use_noise"))
 def render_frame_sharded(scene, state, cam_to_world, world_to_screen,
                          accumulate_flag, *, mesh: Mesh, width: int,
                          height: int, bounces: int, nee: bool, vfov: float,
-                         mode: str = "pathtrace", atrous_iterations: int = 4):
+                         mode: str = "pathtrace", atrous_iterations: int = 4,
+                         use_noise: bool = False):
     """Multi-chip render_frame: row slabs trace across the 'tiles' mesh axis
     (+ optional 'spp' sample parallelism); the gathered frame then runs the
     same replicated post-process (accumulation or A-SVGF) as the single-chip
@@ -113,13 +132,20 @@ def render_frame_sharded(scene, state, cam_to_world, world_to_screen,
     import jax.numpy as jnp
 
     from ..render.integrator import GBuffer, accumulate
-    from ..render.renderer import _project_uv
+    from ..render.renderer import _project_uv, blue_noise_uv
 
     key, k_frame = jax.random.split(state.key)
+    jitter = nee_uv = None
+    if use_noise:
+        jitter = blue_noise_uv(state.noise_tex, state.frame_count,
+                               width, height, dim=0)
+        nee_uv = blue_noise_uv(state.noise_tex, state.frame_count,
+                               width, height, dim=1)
     img, gbuf = trace_paths_sharded(scene, cam_to_world, k_frame, mesh=mesh,
                                     width=width, height=height,
                                     bounces=bounces, nee=nee, vfov=vfov,
-                                    spp=mesh.shape["spp"])
+                                    spp=mesh.shape["spp"],
+                                    jitter=jitter, nee_uv=nee_uv)
 
     gb = GBuffer(normal=gbuf["normal"].reshape(-1, 3),
                  depth=gbuf["depth"].reshape(-1),

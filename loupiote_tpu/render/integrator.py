@@ -15,7 +15,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-import numpy as np
 
 from ..ops.intersect import intersect_any
 from ..ops.raygen import generate_rays
@@ -24,25 +23,6 @@ from ..ops.shade import BounceState, decode_surface, shade_step
 # Pixel tile used to form spatially coherent ray packets (ops/intersect.py):
 # 8 rows x 128 cols = one packet = one f32 VREG tile.
 TILE_H, TILE_W = 8, 128
-
-
-def _tile_perm(width: int, rows: int):
-    """Permutation j -> pixel index putting 8x128 tiles contiguous.
-
-    Returns (perm, inv) as numpy int32, or (None, None) when the image
-    doesn't tile evenly (callers fall back to row-major packets).
-    """
-    if width % TILE_W or rows % TILE_H:
-        return None, None
-    j = np.arange(width * rows, dtype=np.int32)
-    tiles_x = width // TILE_W
-    tile_id, within = j // (TILE_H * TILE_W), j % (TILE_H * TILE_W)
-    ty, tx = tile_id // tiles_x, tile_id % tiles_x
-    yy, xx = within // TILE_W, within % TILE_W
-    perm = (ty * TILE_H + yy) * width + (tx * TILE_W + xx)
-    inv = np.empty_like(perm)
-    inv[perm] = j
-    return perm, inv
 
 
 def _tiles_ok(width: int, rows: int) -> bool:
@@ -79,6 +59,7 @@ class GBuffer(NamedTuple):
 def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
                 key, bounces: int = 3, vfov: float = 0.7853982,
                 nee: bool = True, jitter: jnp.ndarray | None = None,
+                nee_uv: jnp.ndarray | None = None,
                 row_offset=0, rows: int | None = None,
                 sort_rays: bool = True):
     """Trace one sample per pixel. Returns (radiance (R,3), GBuffer).
@@ -107,6 +88,8 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
     if tiled:
         ro = to_tile_order(ro, width, rows)
         rd = to_tile_order(rd, width, rows)
+        if nee_uv is not None:
+            nee_uv = to_tile_order(nee_uv, width, rows)
 
     # Dynamic inter-bounce sorting only pays off when traversal is the
     # dominant cost (large BVHs); the permutation gathers cost ~25ms per
@@ -143,7 +126,9 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
                 world_pos=surf0.pos,
             )
         k_bounce, k_step = jax.random.split(k_bounce)
-        state, _ = shade_step(scene, state, hit, k_step, nee=nee)
+        state, _ = shade_step(scene, state, hit, k_step, nee=nee,
+                              last=(bounce == bounces - 1),
+                              light_uv=(nee_uv if bounce == 0 else None))
 
     radiance = state.radiance
     if tiled:

@@ -88,6 +88,24 @@ def _project_uv(world_to_screen: jnp.ndarray, pos: jnp.ndarray):
     return uv, w
 
 
+def blue_noise_uv(noise_tex: jnp.ndarray, frame_count: jnp.ndarray,
+                  width: int, height: int, dim: int = 0) -> jnp.ndarray:
+    """Per-pixel blue-noise 2-vector with an R2 Cranley-Patterson rotation.
+
+    ``dim`` selects a decorrelated dimension pair (0 = AA jitter, 1 =
+    first-bounce light sampling, ...) by offsetting the toroidal rotation —
+    the reference gates all shading noise on one texture the same way
+    (RadianceParameters.use_noise_texture, renderer.rs:666-673).
+    """
+    hn, wn = noise_tex.shape[:2]
+    yy, xx = jnp.meshgrid(jnp.arange(height) % hn, jnp.arange(width) % wn,
+                          indexing="ij")
+    base = noise_tex[yy.reshape(-1), xx.reshape(-1)]  # (R, 2)
+    g = jnp.asarray([0.7548776662, 0.5698402910])  # R2 sequence
+    rot = (frame_count.astype(jnp.float32) * g + dim * 0.38196601) % 1.0
+    return (base + rot) % 1.0
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height", "bounces",
                                              "nee", "vfov", "mode",
                                              "atrous_iterations",
@@ -106,20 +124,18 @@ def render_frame(scene: SceneBuffers, state: RenderState,
     (debug blit modes) — mirroring the match at renderer.rs:512-540.
     """
     key, k_frame = jax.random.split(state.key)
-    jitter = None
+    jitter = nee_uv = None
     if use_noise:
-        # Blue-noise AA jitter with per-frame R2 Cranley-Patterson rotation
+        # Blue-noise AA jitter + first-bounce light-sampling pair, each with
+        # a per-frame R2 Cranley-Patterson rotation
         # (RadianceParameters.use_noise_texture analog, renderer.rs:666-673).
-        hn, wn = state.noise_tex.shape[:2]
-        yy, xx = jnp.meshgrid(jnp.arange(height) % hn, jnp.arange(width) % wn,
-                              indexing="ij")
-        base = state.noise_tex[yy.reshape(-1), xx.reshape(-1)]  # (R, 2)
-        g = jnp.asarray([0.7548776662, 0.5698402910])  # R2 sequence
-        rot = (state.frame_count.astype(jnp.float32) * g) % 1.0
-        jitter = (base + rot) % 1.0
+        jitter = blue_noise_uv(state.noise_tex, state.frame_count,
+                               width, height, dim=0)
+        nee_uv = blue_noise_uv(state.noise_tex, state.frame_count,
+                               width, height, dim=1)
     sample, gb = trace_paths(scene, cam_to_world, width, height, k_frame,
                              bounces=bounces, vfov=vfov, nee=nee,
-                             jitter=jitter)
+                             jitter=jitter, nee_uv=nee_uv)
     img = sample.reshape(height, width, 3)
 
     # Motion vectors: previous-frame screen uv minus current pixel uv
@@ -176,6 +192,38 @@ def render_frame(scene: SceneBuffers, state: RenderState,
         new["temporal_rgb"] = modulate(t.illum, curr_albedo)
 
     return state.replace(**new)
+
+
+# Stage-granular jits for Renderer.measure_passes (module-level so repeated
+# measurements reuse the compile cache).
+@functools.partial(jax.jit, static_argnames=("width", "height", "vfov"))
+def _stage_raygen(cam_to_world, jitter, *, width, height, vfov):
+    from ..ops.raygen import generate_rays
+
+    return generate_rays(cam_to_world, width, height, vfov, jitter)
+
+
+@jax.jit
+def _stage_intersect(scene, ro, rd, alive):
+    from ..ops.intersect import intersect_any
+
+    return intersect_any(scene, ro, rd, active=alive)
+
+
+@functools.partial(jax.jit, static_argnames=("nee", "last"))
+def _stage_shade(scene, state, hit, key, *, nee, last):
+    from ..ops.shade import shade_step
+
+    return shade_step(scene, state, hit, key, nee=nee, last=last)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def _stage_asvgf(img, albedo, motion, n, d, m, pn, pd, pm, illum, moments,
+                 history, *, iterations):
+    from ..denoise.asvgf import denoise
+
+    return denoise(img, albedo, motion, n, d, m, pn, pd, pm, illum, moments,
+                   history, iterations=iterations)
 
 
 class Renderer:
@@ -241,8 +289,9 @@ class Renderer:
         self.mode = mode
 
     def reset_accumulation(self) -> None:
-        """frame_count = 1 (renderer.rs:609-618)."""
-        self.accumulate = False
+        """frame_count = 1 (renderer.rs:609-618). Matches the reference: it
+        only restarts the running average; the ``accumulate`` toggle is left
+        alone (the app layer owns that flag, app.rs:308-310)."""
         self.state = self.state.replace(frame_count=jnp.int32(1))
 
     # -- frame -------------------------------------------------------------
@@ -274,6 +323,7 @@ class Renderer:
                 bounces=bounces, nee=self.config.nee,
                 vfov=float(np.deg2rad(self.config.vfov_deg)),
                 mode=mode, atrous_iterations=self.config.atrous_iterations,
+                use_noise=self.use_noise and self.noise_texture is not None,
             )
             return
         self.state = render_frame(
@@ -316,6 +366,76 @@ class Renderer:
         rgba = np.concatenate(
             [rgb, np.full(rgb.shape[:2] + (1,), 255, np.uint8)], axis=2)
         return rgba.tobytes()
+
+    def measure_passes(self, view_transform: np.ndarray,
+                       queries=None) -> dict:
+        """Per-pass kernel timings, labeled like the reference performance
+        window ("ray generation", "primary intersection", "shading 0",
+        "intersection N"/"shading N", "asvgf" —
+        `crates/lib/src/renderer.rs:444-448,457,515`,
+        `gui/windows/performance_info.rs:23-47`).
+
+        The hot path keeps the whole frame in ONE fused jit; this
+        instrumentation path dispatches the same kernels one stage at a time
+        with a device fence after each, so stage costs are exact at the
+        price of losing inter-stage fusion. Results also land in ``queries``
+        (or ``self.queries``) for the GUI performance window.
+        """
+        import time as _time
+
+        from ..ops.shade import BounceState
+        from .integrator import _tiles_ok, to_tile_order
+
+        if self.scene is None:
+            return {}
+        q = queries if queries is not None else self.queries
+        cam = Camera(np.asarray(view_transform, np.float32), self.size,
+                     np.deg2rad(self.config.vfov_deg))
+        w, h = self.size
+        bounces = (self.config.bounces_static if self.accumulate
+                   else self.config.bounces_moving)
+        key = self.state.key
+        cam_m = jnp.asarray(cam.transform)
+        out = {}
+
+        def timed(label, fn, *args, **kw):
+            t0 = _time.perf_counter()
+            r = jax.block_until_ready(fn(*args, **kw))
+            out[label] = (_time.perf_counter() - t0) * 1e3
+            return r
+
+        k_jit, k_bounce = jax.random.split(key)
+        jitter = jax.random.uniform(k_jit, (w * h, 2))
+        ro, rd = timed("ray generation", _stage_raygen, cam_m, jitter,
+                       width=w, height=h,
+                       vfov=float(np.deg2rad(self.config.vfov_deg)))
+        if _tiles_ok(w, h):
+            ro, rd = to_tile_order(ro, w, h), to_tile_order(rd, w, h)
+        R = w * h
+        state = BounceState(
+            ro=ro, rd=rd, throughput=jnp.ones((R, 3)),
+            radiance=jnp.zeros((R, 3)), alive=jnp.ones(R, jnp.bool_),
+            bsdf_pdf=jnp.zeros(R), use_mis=jnp.zeros(R, jnp.bool_))
+        for bounce in range(bounces):
+            label = ("primary intersection" if bounce == 0
+                     else f"intersection {bounce}")
+            hit = timed(label, _stage_intersect, self.scene,
+                        state.ro, state.rd, state.alive)
+            k_bounce, k_step = jax.random.split(k_bounce)
+            state, _ = timed(f"shading {bounce}", _stage_shade, self.scene,
+                             state, hit, k_step, nee=self.config.nee,
+                             last=(bounce == bounces - 1))
+        if self.mode == BlitMode.DENOISED_PATHTRACE:
+            s = self.state
+            timed("asvgf", _stage_asvgf, s.accum, s.gb_albedo, s.motion,
+                  s.gb_normal, s.gb_depth, s.gb_mesh, s.gb_normal,
+                  s.gb_depth, s.gb_mesh, s.asvgf_illum, s.asvgf_moments,
+                  s.asvgf_history,
+                  iterations=self.config.atrous_iterations)
+        if q is not None:
+            for label, ms in out.items():
+                q.record(label, ms)
+        return out
 
     def reload_shaders(self) -> None:
         """Hot-reload analog: drop compiled-function caches

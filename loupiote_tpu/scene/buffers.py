@@ -108,6 +108,9 @@ class SceneBuffers:
     # Static metadata (not traced).
     num_tris: int = struct.field(pytree_node=False, default=0)
     num_nodes: int = struct.field(pytree_node=False, default=0)
+    # Traversal stack size: bucketed power-of-two >= bvh_max_depth + 2, so
+    # the packet/Pallas stacks can never overflow (silent subtree drops).
+    stack_depth: int = struct.field(pytree_node=False, default=64)
     num_lights: int = struct.field(pytree_node=False, default=0)
     has_probe: bool = struct.field(pytree_node=False, default=False)
     has_textures: bool = struct.field(pytree_node=False, default=False)
@@ -184,6 +187,13 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
 
     bvh: FlatBVH = build_bvh(p0, p1, p2, leaf_max=min(leaf_max or _LM, _LM))
     order = bvh.tri_order
+
+    from ..accel.bvh import bvh_max_depth
+
+    depth = bvh_max_depth(bvh.count, bvh.miss)
+    stack_depth = 64
+    while stack_depth < depth + 2:
+        stack_depth *= 2
 
     def cat(parts):
         return np.concatenate(parts).astype(np.float32)[order]
@@ -366,6 +376,7 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
         mat_pack=jnp.asarray(mat_pack),
         num_tris=T,
         num_nodes=N,
+        stack_depth=stack_depth,
         num_lights=len(scene.lights),
         has_probe=has_probe,
         has_textures=len(scene.images) > 0,

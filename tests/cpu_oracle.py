@@ -1,0 +1,211 @@
+"""Independent CPU-oracle path tracer (pure numpy).
+
+Closes the self-referential-golden gap (VERDICT r1): the renderer's golden
+test compared the renderer to its own earlier output. This oracle shares NO
+traversal, integration, or sampling code with loupiote_tpu — intersection is
+brute-force O(n) ray-vs-all-triangles, the integrator is a plain
+NEE-every-vertex estimator with cosine-hemisphere continuations, and the
+BSDF equations are re-written here from the standard forms (GGX/Smith/
+Schlick, Lambert). Both estimators are unbiased for the same transport
+(two-sided surfaces, analytic quad lights invisible to geometry), so their
+mean images converge to each other.
+
+Only the *data* comes from SceneBuffers (flat numpy views) — the oracle's
+independence target is traversal + integration + BSDF math, not the loader.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+T_MIN = 1e-4
+EPS = 1e-3
+
+
+def _intersect_brute(p0, e1, e2, ro, rd, tmax=None):
+    """All-pairs Moller-Trumbore. ro/rd: (R,3); tris: (T,3).
+
+    Returns (t (R,), tri (R,), u (R,), v (R,)) of the nearest hit
+    (tri = -1, t = inf on miss).
+    """
+    # (R, T, 3) broadcasts: fine at oracle scale (R ~ 256, T ~ dozens).
+    pv = np.cross(rd[:, None, :], e2[None, :, :])
+    det = np.einsum("tk,rtk->rt", e1, pv)
+    good = np.abs(det) > 1e-12
+    inv = np.where(good, 1.0 / np.where(good, det, 1.0), 0.0)
+    tv = ro[:, None, :] - p0[None, :, :]
+    u = np.einsum("rtk,rtk->rt", tv, pv) * inv
+    qv = np.cross(tv, e1[None, :, :])
+    v = np.einsum("rk,rtk->rt", rd, qv) * inv
+    t = np.einsum("tk,rtk->rt", e2, qv) * inv
+    hit = good & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > T_MIN)
+    if tmax is not None:
+        hit &= t < tmax[:, None]
+    t = np.where(hit, t, np.inf)
+    tri = np.argmin(t, axis=1)
+    tbest = t[np.arange(len(ro)), tri]
+    miss = ~np.isfinite(tbest)
+    tri = np.where(miss, -1, tri)
+    idx = np.maximum(tri, 0)
+    return tbest, tri, u[np.arange(len(ro)), idx], v[np.arange(len(ro)), idx]
+
+
+def _occluded_brute(p0, e1, e2, ro, rd, dist):
+    t, tri, _, _ = _intersect_brute(p0, e1, e2, ro, rd,
+                                    tmax=dist * (1.0 - 1e-3))
+    return tri >= 0
+
+
+def _brdf(albedo, rough, metal, n, wo, wi):
+    """Metallic-roughness BRDF, standard equations re-written from scratch:
+    Lambert * (1-metal) * (1-F) + GGX D * separable SmithG * SchlickF."""
+    ndo = np.sum(n * wo, axis=1)
+    ndi = np.sum(n * wi, axis=1)
+    ok = (ndo > 0) & (ndi > 0)
+    h = wo + wi
+    h /= np.maximum(np.linalg.norm(h, axis=1, keepdims=True), 1e-12)
+    ndh = np.clip(np.sum(n * h, axis=1), 0, 1)
+    odh = np.clip(np.sum(wo * h, axis=1), 1e-6, 1)
+    a = np.maximum(rough * rough, 1e-3)
+    a2 = a * a
+    denom = ndh * ndh * (a2 - 1.0) + 1.0
+    D = a2 / np.maximum(np.pi * denom * denom, 1e-12)
+
+    def g1(c):
+        c = np.maximum(c, 1e-6)
+        return 2.0 * c / (c + np.sqrt(a2 + (1 - a2) * c * c))
+
+    G = g1(ndo) * g1(ndi)
+    f0 = 0.04 * (1 - metal[:, None]) + albedo * metal[:, None]
+    m5 = np.clip(1 - odh, 0, 1) ** 5
+    F = f0 + (1 - f0) * m5[:, None]
+    spec = F * (D * G / np.maximum(4 * ndo * ndi, 1e-9))[:, None]
+    diff = (1 - metal)[:, None] * (1 - F) * albedo / np.pi
+    return np.where(ok[:, None], diff + spec, 0.0)
+
+
+def trace_oracle(bufs, cam_to_world, width, height, vfov, spp, bounces,
+                 seed=0):
+    """Render (H, W, 3) mean radiance with the oracle estimator."""
+    T = bufs.num_tris
+    p0 = np.asarray(bufs.tri_p0)[:T].astype(np.float64)
+    e1 = np.asarray(bufs.tri_e1)[:T].astype(np.float64)
+    e2 = np.asarray(bufs.tri_e2)[:T].astype(np.float64)
+    n0 = np.asarray(bufs.tri_n0)[:T]
+    n1 = np.asarray(bufs.tri_n1)[:T]
+    n2 = np.asarray(bufs.tri_n2)[:T]
+    tri_mat = np.asarray(bufs.tri_mat)[:T]
+    mat_color = np.asarray(bufs.mat_color)
+    mat_rough = np.asarray(bufs.mat_roughness)
+    mat_metal = np.asarray(bufs.mat_metallic)
+    mat_emit = np.asarray(bufs.mat_emission)
+    geo_n = np.cross(e1, e2)
+    geo_n /= np.maximum(np.linalg.norm(geo_n, axis=1, keepdims=True), 1e-20)
+
+    nl = bufs.num_lights
+    l_o = np.asarray(bufs.light_origin)[:nl]
+    l_u = np.asarray(bufs.light_eu)[:nl]
+    l_v = np.asarray(bufs.light_ev)[:nl]
+    l_e = np.asarray(bufs.light_emission)[:nl]
+
+    cam = np.asarray(cam_to_world, np.float64)
+    right, up, fwd, orig = cam[:3, 0], cam[:3, 1], cam[:3, 2], cam[:3, 3]
+    aspect = width / height
+    th = np.tan(vfov / 2)
+
+    rng = np.random.default_rng(seed)
+    R = width * height
+    yy, xx = np.meshgrid(np.arange(height, dtype=np.float64),
+                         np.arange(width, dtype=np.float64), indexing="ij")
+    out = np.zeros((R, 3))
+
+    for _ in range(spp):
+        jit = rng.random((R, 2))
+        px = xx.reshape(-1) + jit[:, 0]
+        py = yy.reshape(-1) + jit[:, 1]
+        ndc_x = (px / width) * 2 - 1
+        ndc_y = 1 - (py / height) * 2
+        rd = (right[None] * (ndc_x * th * aspect)[:, None]
+              + up[None] * (ndc_y * th)[:, None] + fwd[None])
+        rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+        ro = np.broadcast_to(orig, rd.shape).copy()
+
+        tp = np.ones((R, 3))
+        rad = np.zeros((R, 3))
+        alive = np.ones(R, bool)
+        for _b in range(bounces):
+            t, tri, u, v = _intersect_brute(p0, e1, e2, ro, rd)
+            hit = (tri >= 0) & alive
+            idx = np.maximum(tri, 0)
+            w0 = 1 - u - v
+            n = (n0[idx] * w0[:, None] + n1[idx] * u[:, None]
+                 + n2[idx] * v[:, None])
+            n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+            ng = geo_n[idx].copy()
+            flip = np.sum(ng * rd, axis=1) > 0
+            ng[flip] = -ng[flip]
+            nflip = np.sum(n * rd, axis=1) > 0
+            n[nflip] = -n[nflip]
+            m = tri_mat[idx]
+            albedo = mat_color[m][:, :3]
+            rough, metal = mat_rough[m], mat_metal[m]
+            pos = ro + rd * np.where(np.isfinite(t), t, 0)[:, None]
+            wo = -rd
+
+            rad += np.where(hit[:, None], tp * mat_emit[m], 0)
+
+            # NEE at every vertex, full weight (continuation rays never
+            # collect light emission, so no double count).
+            li = rng.integers(0, nl, R)
+            q = (l_o[li] + l_u[li] * rng.random(R)[:, None]
+                 + l_v[li] * rng.random(R)[:, None])
+            lnrm = np.cross(l_u[li], l_v[li])
+            area = np.linalg.norm(lnrm, axis=1)
+            lnrm /= np.maximum(area[:, None], 1e-12)
+            delta = q - pos
+            dist = np.linalg.norm(delta, axis=1)
+            wi = delta / np.maximum(dist[:, None], 1e-12)
+            cos_l = np.abs(np.sum(lnrm * -wi, axis=1))
+            pdf = dist * dist / np.maximum(cos_l * area, 1e-9) / nl
+            cos_i = np.maximum(np.sum(n * wi, axis=1), 0)
+            f = _brdf(albedo, rough, metal, n, wo, wi)
+            cand = hit & (cos_i > 0) & (pdf > 0)
+            so = pos + ng * EPS
+            blocked = _occluded_brute(p0, e1, e2, so, wi, dist)
+            contrib = tp * f * l_e[li] * (cos_i / np.maximum(pdf, 1e-12))[:, None]
+            rad += np.where((cand & ~blocked)[:, None], contrib, 0)
+
+            # Continuation: cosine hemisphere around the shading normal.
+            u1, u2 = rng.random(R), rng.random(R)
+            r_ = np.sqrt(u1)
+            phi = 2 * np.pi * u2
+            local = np.stack([r_ * np.cos(phi), r_ * np.sin(phi),
+                              np.sqrt(np.maximum(1 - u1, 0))], 1)
+            # Gram-Schmidt ONB (different construction from the renderer's).
+            a_ = np.where(np.abs(n[:, 0:1]) < 0.9,
+                          np.array([1.0, 0, 0]), np.array([0, 1.0, 0]))
+            tgt = np.cross(n, a_)
+            tgt /= np.maximum(np.linalg.norm(tgt, axis=1, keepdims=True), 1e-12)
+            btg = np.cross(n, tgt)
+            wi_c = (tgt * local[:, 0:1] + btg * local[:, 1:2]
+                    + n * local[:, 2:3])
+            cos_c = np.sum(n * wi_c, axis=1)
+            pdf_c = np.maximum(cos_c, 0) / np.pi
+            f_c = _brdf(albedo, rough, metal, n, wo, wi_c)
+            ok = hit & (pdf_c > 1e-9) & (np.sum(ng * wi_c, axis=1) > 0)
+            tp = np.where(ok[:, None],
+                          tp * f_c * (cos_c / np.maximum(pdf_c, 1e-12))[:, None],
+                          tp)
+            ro = np.where(ok[:, None], pos + ng * EPS, ro)
+            rd = np.where(ok[:, None], wi_c, rd)
+            alive = ok
+        out += rad
+    return (out / spp).reshape(height, width, 3)
+
+
+def psnr(a, b, peak=None):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    peak = peak or max(a.max(), b.max(), 1e-9)
+    mse = np.mean((a - b) ** 2)
+    return 10.0 * np.log10(peak * peak / max(mse, 1e-20))

@@ -38,6 +38,23 @@ def test_driver_step_and_fps(driver):
     assert driver.queries.frame_ms > 0
 
 
+def test_per_pass_timing_labels(driver):
+    """Reference parity: the performance window shows per-pass timings with
+    labels like "ray generation", "primary intersection", "shading 0",
+    "asvgf" (renderer.rs:444-448,457,515; performance_info.rs:23-47)."""
+    driver.settings.blit_mode = BlitMode.DENOISED_PATHTRACE
+    driver.step(dt=0.016)  # populate denoiser state
+    out = driver.measure_passes()
+    labels = driver.queries.labels()
+    assert len(labels) >= 4
+    assert "ray generation" in labels
+    assert "primary intersection" in labels
+    assert "shading 0" in labels
+    assert "asvgf" in labels
+    assert all(ms >= 0 for ms in out.values())
+    driver.settings.blit_mode = BlitMode.PATHTRACE
+
+
 def test_accumulation_gated_by_camera(driver):
     driver.settings.accumulate = True
     driver.step(dt=0.016)  # camera static -> accumulates

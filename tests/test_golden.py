@@ -2,7 +2,11 @@
 
 The BASELINE metric names "Cornell PSNR vs ref"; with the reference's WGSL
 kernels unmounted, the golden is this renderer's own converged output —
-catching any regression in raygen/traversal/shading/NEE/MIS math.
+catching any regression in raygen/traversal/shading/NEE/MIS math. For
+*absolute* correctness see tests/test_cpu_oracle.py (independent brute-force
+tracer). Golden regenerated in round 2 after the last-vertex final-gather
+fix (the round-1 estimator lost the BSDF-weighted share of direct light at
+the final path vertex; oracle-verified).
 """
 
 import os

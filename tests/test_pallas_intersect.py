@@ -74,3 +74,24 @@ def test_pallas_active_mask(tri_scene):
     ref = intersect_rays(bufs, ro, rd)
     act = np.asarray(active)
     np.testing.assert_array_equal(tri[act], np.asarray(ref.tri)[act])
+
+
+def test_anyhit_stackless_kernel_matches(tri_scene):
+    """The specialized stackless shadow kernel (occluded_pallas) agrees with
+    the SIMT oracle's any-hit semantics for bounded and unbounded rays."""
+    from loupiote_tpu.ops.pallas_intersect import occluded_pallas
+
+    bufs, tris = tri_scene
+    ro, rd = _rays(tris, TILE, seed=81)
+    for dval in (3.0, 1e30):
+        dist = jnp.full(TILE, dval)
+        ref = intersect_rays(bufs, ro, rd, tmax=dist, any_hit=True)
+        out = occluded_pallas(bufs, ro, rd, dist, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(ref.tri) >= 0)
+
+    # Active mask: inactive rays always unoccluded.
+    active = jnp.asarray(np.random.default_rng(82).random(TILE) < 0.5)
+    out = occluded_pallas(bufs, ro, rd, jnp.full(TILE, 5.0), active=active,
+                          interpret=True)
+    assert not np.asarray(out)[~np.asarray(active)].any()

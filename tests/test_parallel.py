@@ -72,8 +72,8 @@ def test_spp_axis_reduces_variance(cornell_bufs):
         return np.asarray(img)
 
     # Variance across repeated frames should shrink with 8-way spp.
-    f1 = np.stack([run(mesh1, scene1, k) for k in range(4)])
-    f8 = np.stack([run(mesh8, scene8, k) for k in range(4)])
+    f1 = np.stack([run(mesh1, scene1, k) for k in range(8)])
+    f8 = np.stack([run(mesh8, scene8, k) for k in range(8)])
     v1 = f1.std(axis=0).mean()
     v8 = f8.std(axis=0).mean()
     assert v8 < 0.7 * v1, (v1, v8)

@@ -128,7 +128,9 @@ def test_renderer_accumulation_semantics(cornell_bufs):
 
     r.reset_accumulation()
     assert int(r.state.frame_count) == 1
-    assert r.accumulate is False
+    # Reference parity: reset only restarts the average; the accumulate
+    # toggle is app-owned (renderer.rs:609-618 does not touch it).
+    assert r.accumulate is True
 
     assert img1.shape == (32, 32, 3) and img1.dtype == np.uint8
 
