@@ -259,6 +259,55 @@ def bin_oracle(bufs, dro, drd, alive):
     print(f"bin-oracle diffuse ms: {best*1e3:.0f}", flush=True)
 
 
+def wide_timings(bufs, ro, rd, dro, drd, alive):
+    import jax
+    import jax.numpy as jnp
+
+    from loupiote_tpu.ops.pallas_wide import intersect_wide, occluded_wide
+    from loupiote_tpu.ops.sort import ray_sort_key, sort_order
+
+    R = ro.shape[0]
+
+    def timeit(fn, *args, n=4):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.time()
+            out = fn(*args)
+            jax.block_until_ready(out)
+            best = min(best, time.time() - t0)
+        return best
+
+    f = jax.jit(lambda a, b, act: intersect_wide(bufs, a, b, active=act))
+    ones = jnp.ones(R, bool)
+    res = {}
+    res["wide_primary_ms"] = timeit(f, jnp.asarray(ro), jnp.asarray(rd),
+                                    ones) * 1e3
+    lo, hi = bufs.node_min[0], bufs.node_max[0]
+    key = ray_sort_key(jnp.asarray(dro), jnp.asarray(drd),
+                       jnp.asarray(alive), lo, hi)
+    order = np.asarray(sort_order(key))
+    res["wide_diffuse_sorted_ms"] = timeit(
+        f, jnp.asarray(dro[order]), jnp.asarray(drd[order]),
+        jnp.asarray(alive[order])) * 1e3
+    g = jax.jit(lambda a, b, t0, act: occluded_wide(bufs, a, b, t0,
+                                                    active=act))
+    res["wide_shadow_sorted_ms"] = timeit(
+        g, jnp.asarray(dro[order]), jnp.asarray(drd[order]),
+        jnp.full(R, 30.0), jnp.asarray(alive[order])) * 1e3
+    # Correctness spot check vs the BVH2 kernel on-device.
+    from loupiote_tpu.ops.pallas_intersect import intersect_pallas
+    h2 = jax.jit(lambda a, b: intersect_pallas(bufs, a, b))(
+        jnp.asarray(ro), jnp.asarray(rd))
+    hw = f(jnp.asarray(ro), jnp.asarray(rd), ones)
+    agree = float((np.asarray(h2.tri) == np.asarray(hw.tri)).mean())
+    res["wide_vs_bvh2_tri_agree"] = agree
+    res["wide_t_maxdiff"] = float(
+        np.abs(np.asarray(h2.t) - np.asarray(hw.t)).max())
+    return res
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     bufs, cam = build()
@@ -277,6 +326,14 @@ if __name__ == "__main__":
               (R / res["diffuse_sorted_ms"] / 1e3))
         print("shadow sorted Mrays/s: %.1f" %
               (R / res["shadow_sorted_ms"] / 1e3), flush=True)
+    if mode == "--wide":
+        res = wide_timings(bufs, ro, rd, dro, drd, alive)
+        for k, v in res.items():
+            print(f"{k}: {v:.3f}")
+        R = len(ro)
+        print("wide primary Mrays/s: %.1f" % (R / res["wide_primary_ms"] / 1e3))
+        print("wide diffuse Mrays/s: %.1f" %
+              (R / res["wide_diffuse_sorted_ms"] / 1e3), flush=True)
     if mode == "--bin-oracle":
         bin_oracle(bufs, dro, drd, alive)
     if mode in ("all", "--sim-only"):

@@ -1,0 +1,163 @@
+"""BVH2 -> wide (8-ary) collapse for the TPU traversal kernel.
+
+Why wide nodes on TPU: the sub-packet traversal kernel
+(ops/pallas_wide.py) is *latency-bound* on its per-step dependency chain
+(scalar extract -> dynamic row fetch -> control), not VPU-throughput-bound
+(measured: leaf_cap 14 -> 1 changes diffuse-wave time by <8%%,
+experiments/step_cost.py). One fetched 128-lane row can therefore carry 8
+child AABBs instead of 1 at the same per-step cost, cutting the step count
+~3x. This mirrors the reference's CWBVH choice (tinybvh-rs, 8-wide
+compressed BVH, `Cargo.lock:3391-3399`, `app.rs:217`) arrived at from TPU
+constraints rather than CUDA warp ones.
+
+Unified row table layout (``trav_rows``: (W + L, 128) float32):
+  - rows [0, W): wide internal nodes. Child c in lanes [16c, 16c+16):
+      [min.x, min.y, min.z, max.x, max.y, max.z, ptr, pad...]
+    ``ptr`` (bitcast int32) is the child's row index (wide or leaf row);
+    -1 marks an empty slot. Lane 127 (child 7 pad) = kind tag 0.
+  - rows [W, W+L): leaf rows: 14 triangles x [p0, e1, e2] in lanes
+    [0, 126), lane 126 = (global_first << 4 | count) bitcast int32,
+    lane 127 = kind tag 1.
+The root is always row 0 (a leaf-only scene has W == 0 and the root leaf
+at row 0).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .bvh import FlatBVH
+
+WIDTH = 8
+LEAF_ROW_CAP = 14  # triangles per leaf row (9 floats each, 126 lanes)
+
+
+@dataclass
+class WideBVH:
+    trav_rows: np.ndarray  # (W + L, 128) float32 unified row table
+    num_wide: int
+    num_leaf_rows: int
+    stack_need: int  # max stack entries any traversal order can require
+    end_index: int  # == W + L (termination sentinel)
+
+
+def _surface_area(bmin, bmax):
+    d = np.maximum(bmax - bmin, 0.0)
+    return d[0] * d[1] + d[1] * d[2] + d[2] * d[0]
+
+
+def collapse_wide(bvh: FlatBVH, tri9: np.ndarray,
+                  width: int = WIDTH) -> WideBVH:
+    """Collapse a threaded BVH2 into the unified wide row table.
+
+    ``tri9``: (T, 9) float32 [p0, e1, e2] per triangle in BVH leaf order
+    (the same data the BVH2 leaf rows hold).
+    """
+    count = bvh.count
+    right = bvh.right
+    is_leaf = count > 0
+    N = bvh.num_nodes
+
+    # Gather cluster members for each wide node rooted at a BVH2 internal
+    # node: greedily expand the largest-surface-area internal member.
+    def cluster(n2: int) -> list[int]:
+        members = [n2 + 1, int(right[n2])]
+        while len(members) < width:
+            best_i, best_a = -1, -1.0
+            for i, m in enumerate(members):
+                if not is_leaf[m]:
+                    a = _surface_area(bvh.node_min[m], bvh.node_max[m])
+                    if a > best_a:
+                        best_i, best_a = i, a
+            if best_i < 0:
+                break
+            m = members.pop(best_i)
+            members.extend([m + 1, int(right[m])])
+        return members
+
+    # DFS pre-order emission of wide nodes. wide_children[w] = list of
+    # (bvh2_node, is_leaf) in push order.
+    wide_children: list[list[int]] = []
+    wide_of: dict[int, int] = {}
+    leaf_nodes: list[int] = []  # bvh2 leaf node per leaf row, in emit order
+    leaf_row_of: dict[int, int] = {}
+
+    if is_leaf[0]:
+        members_root: list[int] = []
+        leaf_row_of[0] = 0
+        leaf_nodes.append(0)
+    else:
+        stack = [0]
+        while stack:
+            n2 = stack.pop()
+            w = len(wide_children)
+            wide_of[n2] = w
+            mem = cluster(n2)
+            wide_children.append(mem)
+            # Recurse into internal members (reverse for stable pre-order).
+            for m in reversed(mem):
+                if not is_leaf[m]:
+                    stack.append(m)
+                else:
+                    if m not in leaf_row_of:
+                        leaf_row_of[m] = len(leaf_nodes)
+                        leaf_nodes.append(m)
+
+    W = len(wide_children)
+    L = len(leaf_nodes)
+    rows = np.zeros((W + L, 128), np.float32)
+
+    def _i32(x):
+        return np.float32(np.int32(x).view(np.float32))
+
+    # Wide node rows.
+    for w, mem in enumerate(wide_children):
+        for c in range(width):
+            b = 16 * c
+            if c < len(mem):
+                m = mem[c]
+                rows[w, b:b + 3] = bvh.node_min[m]
+                rows[w, b + 3:b + 6] = bvh.node_max[m]
+                ptr = (W + leaf_row_of[m]) if is_leaf[m] else wide_of[m]
+                rows[w, b + 6] = _i32(ptr)
+            else:
+                rows[w, b:b + 3] = 1e30
+                rows[w, b + 3:b + 6] = -1e30
+                rows[w, b + 6] = _i32(-1)
+        rows[w, 127] = _i32(0)
+
+    # Leaf rows.
+    for li, n2 in enumerate(leaf_nodes):
+        r = W + li
+        f, c = int(bvh.first[n2]), int(count[n2])
+        c = min(c, LEAF_ROW_CAP)
+        block = tri9[f:f + c].reshape(-1)
+        rows[r, :block.size] = block
+        for k in range(c, LEAF_ROW_CAP):
+            rows[r, 9 * k:9 * k + 3] = 1e30  # degenerate: never hits
+        rows[r, 126] = _i32((f << 4) | c)
+        rows[r, 127] = _i32(1)
+
+    # Worst-case stack need: pushing (k-1) children then descending.
+    need = np.zeros(W + 1, np.int64)  # need[W] unused pad
+
+    def _need(w: int) -> int:
+        mem = wide_children[w]
+        k = len(mem)
+        child_need = 0
+        for m in mem:
+            if not is_leaf[m]:
+                child_need = max(child_need, _need_memo[wide_of[m]])
+        return (k - 1) + max(child_need, 1)
+
+    # Bottom-up: wide nodes are in pre-order, so children have larger ids.
+    _need_memo = np.zeros(max(W, 1), np.int64)
+    for w in range(W - 1, -1, -1):
+        _need_memo[w] = _need(w)
+    stack_need = int(_need_memo[0]) + 2 if W else 2
+    del need
+
+    return WideBVH(trav_rows=rows, num_wide=W, num_leaf_rows=L,
+                   stack_need=stack_need, end_index=W + L)

@@ -302,6 +302,13 @@ def _pallas_enabled() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+def _wide_enabled(scene) -> bool:
+    import os
+
+    return (os.environ.get("LOUPIOTE_NO_WIDE") != "1"
+            and getattr(scene, "trav_rows", None) is not None)
+
+
 def intersect_any(scene, ro, rd, tmax=None, active=None,
                   any_hit: bool = False) -> Hit:
     """Dispatch: Pallas sub-packet kernel on TPU, XLA packets elsewhere.
@@ -324,6 +331,11 @@ def intersect_any(scene, ro, rd, tmax=None, active=None,
                             any_hit=any_hit)
         return Hit(hit.t[:R], hit.tri[:R], hit.u[:R], hit.v[:R])
     if R % PACKET_SIZE == 0 and _pallas_enabled():
+        if _wide_enabled(scene):
+            from .pallas_wide import intersect_wide
+
+            return intersect_wide(scene, ro, rd, tmax=tmax, active=active,
+                                  any_hit=any_hit)
         from .pallas_intersect import intersect_pallas
 
         return intersect_pallas(scene, ro, rd, tmax=tmax, active=active,
@@ -346,6 +358,9 @@ def occluded(scene, ro, rd, dist, active=None) -> jnp.ndarray:
     tmax = dist * (1.0 - 1e-3)
     if _pallas_enabled():
         from .pallas_intersect import TILE, occluded_pallas
+
+        if _wide_enabled(scene):
+            from .pallas_wide import occluded_wide as occluded_pallas  # noqa
 
         pad = (-R) % TILE
         if pad == 0:

@@ -94,6 +94,13 @@ class SceneBuffers:
     # its Moller-Trumbore loop only this far.
     leaf_cap: int = struct.field(pytree_node=False, default=14)
 
+    # Wide (8-ary) unified traversal table (accel/wide.py): the primary
+    # TPU traversal structure (ops/pallas_wide.py). Row = 8 child AABBs
+    # (internal) or 14 triangles (leaf); root = row 0.
+    trav_rows: jnp.ndarray = None  # (W + L, 128) float32
+    wide_end: int = struct.field(pytree_node=False, default=0)
+    wide_stack: int = struct.field(pytree_node=False, default=64)
+
     # Shading attribute packs: ONE row gather per hit instead of ~11
     # (gathers cost ~row-count, not row-width, on TPU).
     # tri_shade: [n0(3), n1(3), n2(3), uv0(2), uv1(2), uv2(2), mat, inst,
@@ -320,6 +327,22 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
     node_rows[N:, 0:3] = 1e30
     node_rows[N:, 3:6] = -1e30
 
+    # Wide (8-ary) unified traversal table (accel/wide.py).
+    from ..accel.wide import collapse_wide
+
+    wide = collapse_wide(bvh, tri9)
+    trav = wide.trav_rows
+    Wp = _ceil_to(trav.shape[0], 8)
+    trav = pad_rows(trav, Wp, 0.0)
+    # Padded rows read as internal nodes with all-empty children.
+    for c in range(8):
+        trav[wide.end_index:, 16 * c:16 * c + 3] = 1e30
+        trav[wide.end_index:, 16 * c + 3:16 * c + 6] = -1e30
+        trav[wide.end_index:, 16 * c + 6] = np.int32(-1).view(np.float32)
+    wide_stack = 16
+    while wide_stack < wide.stack_need:
+        wide_stack *= 2
+
     if probe is not None:
         pr = probe.radiance
         pc = probe.cdf_cond
@@ -370,6 +393,9 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
         tri_pack=jnp.asarray(tri_pack),
         node_rows=jnp.asarray(node_rows),
         leaf_rows=jnp.asarray(leaf_rows),
+        trav_rows=jnp.asarray(trav),
+        wide_end=int(wide.end_index),
+        wide_stack=int(wide_stack),
         num_leaves=L,
         leaf_cap=int(bvh.count.max()) if bvh.count.size else 1,
         tri_shade=jnp.asarray(tri_shade),

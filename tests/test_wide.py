@@ -1,0 +1,136 @@
+"""Wide (8-ary) BVH traversal kernel vs the SIMT oracle (interpret mode on
+CPU; the same kernel compiles with Mosaic on TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from loupiote_tpu.accel.bvh import build_bvh
+from loupiote_tpu.accel.wide import collapse_wide
+from loupiote_tpu.ops.intersect import intersect_rays
+from loupiote_tpu.ops.pallas_wide import (TILE, intersect_wide,
+                                          occluded_wide)
+from loupiote_tpu.scene import Scene, build_scene_buffers
+from loupiote_tpu.scene.types import Instance, Mesh
+
+from test_bvh import random_tris
+
+
+@pytest.fixture(scope="module")
+def tri_scene():
+    rng = np.random.default_rng(4321)
+    n = 500
+    v0, v1, v2 = random_tris(rng, n, spread=10.0, size=1.0)
+    scene = Scene.default()
+    pos = np.empty((n * 3, 3), np.float32)
+    pos[0::3], pos[1::3], pos[2::3] = v0, v1, v2
+    scene.meshes.append(Mesh(pos, None, None,
+                             np.arange(n * 3, dtype=np.uint32)))
+    scene.instances.append(Instance(0, np.eye(4, dtype=np.float32), 0))
+    return build_scene_buffers(scene), (v0, v1, v2)
+
+
+def _rays(tris, R, seed=77):
+    rng = np.random.default_rng(seed)
+    v0, v1, _ = tris
+    n = len(v0)
+    ro = ((rng.random((R, 3)) - 0.5) * 25).astype(np.float32)
+    tgt = (v0[rng.integers(0, n, R)] + v1[rng.integers(0, n, R)]) / 2
+    rd = np.where(rng.random((R, 1)) < 0.7, tgt - ro,
+                  rng.random((R, 3)) - 0.5).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    return jnp.asarray(ro), jnp.asarray(rd)
+
+
+def test_wide_table_structure(tri_scene):
+    bufs, _ = tri_scene
+    assert bufs.trav_rows is not None
+    rows = np.asarray(bufs.trav_rows)
+    kinds = rows[:bufs.wide_end, 127].view(np.int32)
+    n_leaf = int((kinds == 1).sum())
+    n_wide = int((kinds == 0).sum())
+    assert n_leaf + n_wide == bufs.wide_end
+    # Every child pointer of a wide row is -1 or a valid row index.
+    for c in range(8):
+        ptr = rows[:bufs.wide_end][kinds == 0][:, 16 * c + 6].view(np.int32)
+        assert ((ptr == -1) | ((ptr >= 0) & (ptr < bufs.wide_end))).all()
+    # All triangles reachable: sum of leaf counts == num_tris.
+    fc = rows[:bufs.wide_end][kinds == 1][:, 126].view(np.int32)
+    assert int((fc & 15).sum()) == bufs.num_tris
+
+
+def test_wide_matches_simt(tri_scene):
+    bufs, tris = tri_scene
+    ro, rd = _rays(tris, TILE)
+    ref = intersect_rays(bufs, ro, rd)
+    out = intersect_wide(bufs, ro, rd, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.t), np.asarray(ref.t),
+                               rtol=1e-4)
+    tri_ref, tri_out = np.asarray(ref.tri), np.asarray(out.tri)
+    mismatch = tri_ref != tri_out
+    assert mismatch.mean() < 0.005  # t-ties may pick either triangle
+    same = ~mismatch
+    np.testing.assert_allclose(np.asarray(out.u)[same],
+                               np.asarray(ref.u)[same], atol=1e-4)
+
+
+def test_wide_anyhit_matches(tri_scene):
+    bufs, tris = tri_scene
+    ro, rd = _rays(tris, TILE, seed=78)
+    for dval in (3.0, 1e30):
+        dist = jnp.full(TILE, dval)
+        ref = intersect_rays(bufs, ro, rd, tmax=dist, any_hit=True)
+        out = occluded_wide(bufs, ro, rd, dist, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(ref.tri) >= 0)
+
+
+def test_wide_active_mask(tri_scene):
+    bufs, tris = tri_scene
+    ro, rd = _rays(tris, TILE, seed=79)
+    active = jnp.asarray(np.random.default_rng(80).random(TILE) < 0.5)
+    out = intersect_wide(bufs, ro, rd, active=active, interpret=True)
+    tri = np.asarray(out.tri)
+    assert (tri[~np.asarray(active)] == -1).all()
+    ref = intersect_rays(bufs, ro, rd)
+    act = np.asarray(active)
+    np.testing.assert_array_equal(tri[act], np.asarray(ref.tri)[act])
+
+
+def test_wide_stack_need_is_sufficient():
+    """Adversarial deep tree: a long diagonal strip of tiny triangles forces
+    a deep BVH2; the collapse's stack_need bound must still hold (silent
+    drops would show up as misses here)."""
+    rng = np.random.default_rng(9)
+    n = 2000
+    base = np.cumsum(rng.random((n, 3)).astype(np.float32) * 0.01, axis=0)
+    v0 = base
+    v1 = base + np.float32([0.005, 0, 0])
+    v2 = base + np.float32([0, 0.005, 0])
+    scene = Scene.default()
+    pos = np.empty((n * 3, 3), np.float32)
+    pos[0::3], pos[1::3], pos[2::3] = v0, v1, v2
+    scene.meshes.append(Mesh(pos, None, None,
+                             np.arange(n * 3, dtype=np.uint32)))
+    scene.instances.append(Instance(0, np.eye(4, dtype=np.float32), 0))
+    bufs = build_scene_buffers(scene)
+    ro, rd = _rays((v0, v1, v2), TILE, seed=5)
+    ref = intersect_rays(bufs, ro, rd)
+    out = intersect_wide(bufs, ro, rd, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.t), np.asarray(ref.t),
+                               rtol=1e-4)
+
+
+def test_collapse_wide_properties():
+    rng = np.random.default_rng(11)
+    v0, v1, v2 = random_tris(rng, 777, spread=5.0, size=0.3)
+    bvh = build_bvh(v0, v1, v2)
+    order = bvh.tri_order
+    p0 = v0[order]
+    tri9 = np.concatenate([p0, v1[order] - p0, v2[order] - p0], axis=1)
+    wide = collapse_wide(bvh, tri9.astype(np.float32))
+    assert wide.end_index == wide.num_wide + wide.num_leaf_rows
+    assert wide.stack_need >= 2
+    # Leaf coverage: every BVH2 leaf appears exactly once.
+    kinds = wide.trav_rows[:, 127].view(np.int32)
+    assert (kinds == 1).sum() == (bvh.count > 0).sum()
