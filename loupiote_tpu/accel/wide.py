@@ -32,6 +32,8 @@ from .bvh import FlatBVH
 
 WIDTH = 8
 LEAF_ROW_CAP = 14  # triangles per leaf row (9 floats each, 126 lanes)
+LEAF_TAG = 1 << 30  # child-pointer tag: target row is a leaf
+LEAF_MASK = LEAF_TAG - 1
 
 
 @dataclass
@@ -85,7 +87,9 @@ def collapse_wide(bvh: FlatBVH, tri9: np.ndarray,
     leaf_row_of: dict[int, int] = {}
 
     if is_leaf[0]:
-        members_root: list[int] = []
+        # Synthetic root wide node with the single leaf as its only child,
+        # so the kernel's root is always an internal row.
+        wide_children.append([0])
         leaf_row_of[0] = 0
         leaf_nodes.append(0)
     else:
@@ -120,7 +124,10 @@ def collapse_wide(bvh: FlatBVH, tri9: np.ndarray,
                 m = mem[c]
                 rows[w, b:b + 3] = bvh.node_min[m]
                 rows[w, b + 3:b + 6] = bvh.node_max[m]
-                ptr = (W + leaf_row_of[m]) if is_leaf[m] else wide_of[m]
+                # Leaf children carry the tag bit so the kernel can defer
+                # leaf processing without fetching the row first.
+                ptr = ((W + leaf_row_of[m]) | LEAF_TAG if is_leaf[m]
+                       else wide_of[m])
                 rows[w, b + 6] = _i32(ptr)
             else:
                 rows[w, b:b + 3] = 1e30

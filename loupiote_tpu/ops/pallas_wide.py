@@ -1,21 +1,26 @@
-"""Pallas TPU wide-BVH (8-ary) sub-packet traversal kernel.
+"""Pallas TPU wide-BVH (8-ary) traversal kernel with deferred leaf batching.
 
-Successor of ops/pallas_intersect.py's BVH2 kernel, measured to be
-*latency-bound* on its per-step dependency chain rather than
-VPU-throughput-bound (experiments/step_cost.py: a 14x cut of the leaf
-Moller-Trumbore unroll changed diffuse-wave time <8%). Design response:
+Measured cost model (experiments/kernel_probe.py on a v5e chip): the
+traversal loop is VPU-op-count bound at ~1.2us/step, with the 14-triangle
+Moller-Trumbore leaf unroll accounting for ~60% of the step's vector ops
+while only ~30% of steps visit a leaf. Design response:
 
-  - ONE unified row table (accel/wide.py): a step fetches one 128-lane row
-    per sub-packet that is either 8 child AABBs (internal) or 14 triangles
-    (leaf) — 8 dynamic slices per step total vs 16 before, and each
-    internal step advances the tree ~3 levels' worth.
-  - Both interpretations of the fetched row are evaluated every step and
-    masked per sub-packet (vector flops hide under the fetch/control
-    latency bubbles; measured free).
-  - Fully vectorized control: per-row stacks live in an (8, S) int32 loop
-    carry manipulated with one-hot lane masks — zero scalar stack ops.
-  - Ordered descent: children are pushed far-to-near by per-row min
-    hit-tnear, so the near child pops first (best-t pruning).
+  - ONE unified row table (accel/wide.py): internal rows hold 8 child
+    AABBs; leaf rows hold 14 triangles. Child pointers carry a LEAF tag
+    bit so control never needs to fetch a row to learn its kind.
+  - DEFERRED LEAVES: a sub-packet reaching a leaf parks it in a per-row
+    ``pend`` slot and keeps traversing internal nodes (cheap steps). When
+    any row would need a second slot (or retires with one), a single
+    ``pl.when``-gated flush step intersects ALL parked leaf rows at once —
+    amortizing the expensive MT block over up to 8 leaf visits. Best-hit
+    state (t/u/v/tri) lives in the output refs so the flush can update it
+    from inside the conditional; stale-t pruning between flushes is
+    conservative and exact at the triangle test.
+  - Fully vectorized control: per-row stacks in an (8, S) int32 loop carry
+    via one-hot lane masks; one-shot rank-based ordered descent (pairwise
+    tnear comparisons, no serial selection loop).
+  - Fetch cost is hidden (measured): a "nofetch" probe ran at the same
+    per-step cost as the real kernel.
 
 Reference behavior parity: IntersectorPass over full-resolution ray SSBOs
 (`/root/reference/crates/lib/src/renderer.rs:453-464,484-510`); the wide
@@ -39,7 +44,11 @@ SUBP = 128  # rays per sub-packet (lanes)
 TILE = SUB * SUBP
 WIDTH = 8  # children per wide node
 LEAF_CAP = 14
+CHAINS = 1  # interleaved traversal states per cell (kernel is VPU-bound:
+#             chains > 1 measured cost-neutral; kept for experiments)
 BIG = 3e30  # python float: jnp scalars would be captured consts in pallas
+LEAF_TAG = 1 << 30
+LEAF_MASK = LEAF_TAG - 1
 
 
 def _bc(col):
@@ -51,92 +60,161 @@ def _rowsum(x):
     return jnp.sum(x, axis=1, keepdims=True)
 
 
+def _moller_trumbore(rs, ray, mask_col, t_best, leaf_cap, any_hit,
+                     blocked_ref):
+    """Intersect each row's 14-triangle leaf row against its 128 rays.
+
+    ``rs``: (8,128) leaf rows; ``mask_col``: (8,1) int32 row-valid;
+    ``t_best``/the returned tuple are (8,128) best-hit accumulators.
+    """
+    (ox, oy, oz, dx, dy, dz, _, _, _, t0, act) = ray
+    fc = lax.bitcast_convert_type(rs[:, 126:127], jnp.int32)
+    lcount = fc & 15
+    lfirst = fc >> 4
+
+    t, u, v, tri = t_best
+    lane_ok = (act > 0) & (_bc(mask_col) > 0)
+    if any_hit:
+        lane_ok = lane_ok & (blocked_ref[...] == 0)
+        new_blocked = jnp.zeros((SUB, SUBP), jnp.int32)
+    for k in range(leaf_cap):
+        b = 9 * k
+        p0x, p0y, p0z = (_bc(rs[:, b + i:b + i + 1]) for i in range(3))
+        e1x, e1y, e1z = (_bc(rs[:, b + i:b + i + 1]) for i in range(3, 6))
+        e2x, e2y, e2z = (_bc(rs[:, b + i:b + i + 1]) for i in range(6, 9))
+
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tvx = ox - p0x
+        tvy = oy - p0y
+        tvz = oz - p0z
+        uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+        tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+
+        valid = _bc((k < lcount).astype(jnp.int32)) > 0
+        ok = (valid & lane_ok
+              & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+              & (tt > T_MIN) & (tt < t))
+        t = jnp.where(ok, tt, t)
+        u = jnp.where(ok, uu, u)
+        v = jnp.where(ok, vv, v)
+        tri = jnp.where(ok, _bc(lfirst) + k, tri)
+        if any_hit:
+            new_blocked = jnp.maximum(new_blocked, ok.astype(jnp.int32))
+    if any_hit:
+        blocked_ref[...] = jnp.maximum(blocked_ref[...], new_blocked)
+    return t, u, v, tri
+
+
 def _wide_kernel(rows_ref,
                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
                  act_ref,
                  t_out, u_out, v_out, tri_out,
                  *, end_index: int, any_hit: bool, max_steps: int,
-                 leaf_cap: int, stack_size: int):
-    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
-    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
-    act = act_ref[0]  # (8,128) int32 0/1
-    t0 = t0_ref[0]
+                 leaf_cap: int, stack_size: int, chains: int,
+                 flush_fill: int = 6):
+    END = jnp.int32(end_index)
+    lane_s = lax.broadcasted_iota(jnp.int32, (SUB, stack_size), 1)
+    c_iota = lax.broadcasted_iota(jnp.int32, (SUB, WIDTH), 1)
 
     def safe_inv(d):
         return 1.0 / jnp.where(jnp.abs(d) > 1e-20, d,
                                jnp.where(d >= 0, 1e-20, -1e-20))
 
-    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+    rays = []
+    inits = []
+    for c in range(chains):
+        ox, oy, oz = ox_ref[0, c], oy_ref[0, c], oz_ref[0, c]
+        dx, dy, dz = dx_ref[0, c], dy_ref[0, c], dz_ref[0, c]
+        act = act_ref[0, c]  # (8,128) int32 0/1
+        t0 = t0_ref[0, c]
+        rays.append((ox, oy, oz, dx, dy, dz,
+                     safe_inv(dx), safe_inv(dy), safe_inv(dz), t0, act))
+        inits.append((
+            jnp.zeros((SUB, 1), jnp.int32),  # cur (root = row 0)
+            jnp.zeros((SUB, 1), jnp.int32),  # ptr
+            (jnp.sum(act, axis=1, keepdims=True) == 0).astype(jnp.int32),
+            jnp.zeros((SUB, stack_size), jnp.int32),  # stack
+            jnp.full((SUB, 1), -1, jnp.int32),  # pend (parked leaf row)
+        ))
+        # Best-hit state lives in the output refs (updated under pl.when).
+        t_out[0, c] = t0
+        u_out[0, c] = jnp.zeros((SUB, SUBP), jnp.float32)
+        v_out[0, c] = jnp.zeros((SUB, SUBP), jnp.float32)
+        tri_out[0, c] = (jnp.zeros((SUB, SUBP), jnp.int32) if any_hit
+                         else jnp.full((SUB, SUBP), -1, jnp.int32))
 
-    END = jnp.int32(end_index)
-    lane_s = lax.broadcasted_iota(jnp.int32, (SUB, stack_size), 1)
-    c_iota = lax.broadcasted_iota(jnp.int32, (SUB, WIDTH), 1)
+    def refs(c):
 
-    cur0 = jnp.zeros((SUB, 1), jnp.int32)
-    ptr0 = jnp.zeros((SUB, 1), jnp.int32)
-    done0 = (jnp.sum(act, axis=1, keepdims=True) == 0).astype(jnp.int32)
-    stack0 = jnp.zeros((SUB, stack_size), jnp.int32)
+        class _R:  # tiny indexable views over the chain's ref slices
+            pass
 
-    def cond(c):
-        (cur, ptr, done, stack, t, u, v, tri, blocked, steps) = c
-        return jnp.logical_and(jnp.sum(done) < SUB, steps < max_steps)
+        return (t_out.at[0, c], u_out.at[0, c], v_out.at[0, c],
+                tri_out.at[0, c])
 
-    def body(c):
-        (cur, ptr, done, stack, t, u, v, tri, blocked, steps) = c
+    def advance(c, st):
+        ray = rays[c]
+        (ox, oy, oz, dx, dy, dz, ix, iy, iz, t0, act) = ray
+        (cur, ptr, done, stack, pend) = st
+        t_ref, u_ref, v_ref, tri_ref = refs(c)
 
-        rows = [rows_ref[pl.ds(jnp.where(done[s, 0] > 0, 0, cur[s, 0]), 1), :]
-                for s in range(SUB)]
-        rs = jnp.concatenate(rows, axis=0)  # (8, 128)
-
-        kind = lax.bitcast_convert_type(rs[:, 127:128], jnp.int32)  # (8,1)
         live = 1 - done
-        is_leaf = (kind == 1).astype(jnp.int32) * live  # (8,1) i32
-        is_node = (1 - (kind == 1).astype(jnp.int32)) * live
+        leafbit = (cur >> 30) & 1  # (8,1): parked-at-leaf rows
+        retire = (cur == END).astype(jnp.int32)
+        occ = (pend >= 0).astype(jnp.int32)
+        stall = occ * jnp.minimum(leafbit + retire, 1) * live
+        # Flush when a row is blocked on its pend slot, or when enough rows
+        # hold a pending leaf that one MT block amortizes well.
+        flush = jnp.logical_or(jnp.sum(stall) > 0,
+                               jnp.sum(occ * live) >= flush_fill)
 
-        lane_act = (act > 0) & (_bc(done) == 0)
-        if any_hit:
-            lane_act = lane_act & (blocked == 0)
-
-        # ---- leaf interpretation (masked by is_leaf). -----------------
-        fc = lax.bitcast_convert_type(rs[:, 126:127], jnp.int32)
-        lcount = fc & 15
-        lfirst = fc >> 4
-        new_t, new_u, new_v, new_tri = t, u, v, tri
-        new_blocked = blocked
-        leaf_lane = lane_act & (_bc(is_leaf) > 0)
-        for k in range(leaf_cap):
-            b = 9 * k
-            p0x, p0y, p0z = (_bc(rs[:, b + i:b + i + 1]) for i in range(3))
-            e1x, e1y, e1z = (_bc(rs[:, b + i:b + i + 1]) for i in range(3, 6))
-            e2x, e2y, e2z = (_bc(rs[:, b + i:b + i + 1]) for i in range(6, 9))
-
-            pvx = dy * e2z - dz * e2y
-            pvy = dz * e2x - dx * e2z
-            pvz = dx * e2y - dy * e2x
-            det = e1x * pvx + e1y * pvy + e1z * pvz
-            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-            tvx = ox - p0x
-            tvy = oy - p0y
-            tvz = oz - p0z
-            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-            qvx = tvy * e1z - tvz * e1y
-            qvy = tvz * e1x - tvx * e1z
-            qvz = tvx * e1y - tvy * e1x
-            vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-
-            valid = _bc(is_leaf * (k < lcount).astype(jnp.int32)) > 0
-            ok = (valid & leaf_lane
-                  & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                  & (tt > T_MIN) & (tt < new_t))
-            new_t = jnp.where(ok, tt, new_t)
-            new_u = jnp.where(ok, uu, new_u)
-            new_v = jnp.where(ok, vv, new_v)
-            new_tri = jnp.where(ok, _bc(lfirst) + k, new_tri)
+        # ---- flush: intersect all parked leaf rows at once. ------------
+        @pl.when(flush)
+        def _():
+            rows2 = jnp.concatenate(
+                [rows_ref[pl.ds(jnp.maximum(pend[s, 0], 0), 1), :]
+                 for s in range(SUB)], axis=0)
+            best = (t_ref[...], u_ref[...], v_ref[...],
+                    (None if any_hit else tri_ref[...]))
             if any_hit:
-                new_blocked = jnp.maximum(new_blocked, ok.astype(jnp.int32))
+                best = (best[0], best[1], best[2],
+                        jnp.zeros((SUB, SUBP), jnp.int32))
+            nt, nu, nv, ntri = _moller_trumbore(
+                rows2, ray, occ, (best[0], best[1], best[2], best[3]),
+                leaf_cap, any_hit, tri_ref if any_hit else None)
+            t_ref[...] = nt
+            u_ref[...] = nu
+            v_ref[...] = nv
+            if not any_hit:
+                tri_ref[...] = ntri
 
-        # ---- internal interpretation: 8 child slabs. ------------------
+        # ---- pend bookkeeping (pure control math). ---------------------
+        pend1 = jnp.where(flush, -1, pend)
+        take = (leafbit * live) > 0
+        pend_new = jnp.where(take & (pend1 < 0), cur & LEAF_MASK, pend1)
+
+        # ---- internal step. --------------------------------------------
+        t_best = t_ref[...]
+        if any_hit:
+            blocked = tri_ref[...]
+            lane_act = (act > 0) & (_bc(done) == 0) & (blocked == 0)
+        else:
+            lane_act = (act > 0) & (_bc(done) == 0)
+        is_node = live * (1 - leafbit) * (1 - retire)
+        fetch_idx = [jnp.where((leafbit[s, 0] > 0) | (done[s, 0] > 0),
+                               0, jnp.minimum(cur[s, 0], END))
+                     for s in range(SUB)]
+        rs = jnp.concatenate(
+            [rows_ref[pl.ds(fetch_idx[s], 1), :] for s in range(SUB)],
+            axis=0)  # (8,128)
+
         node_lane = lane_act & (_bc(is_node) > 0)
         hits, tmins, ptrs = [], [], []
         for ci in range(WIDTH):
@@ -159,11 +237,11 @@ def _wide_kernel(rows_ref,
             tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                          jnp.maximum(t1y, t2y)),
                              jnp.maximum(t1z, t2z))
-            pr = new_t if not any_hit else t0
+            pr = t_best if not any_hit else t0
             rhit = (tf >= jnp.maximum(tn, 0.0)) & (tn < pr) & node_lane
             # One reduce per child: the min-tnear doubles as the hit test.
             ctmin = jnp.min(jnp.where(rhit, tn, BIG), axis=1, keepdims=True)
-            chit = ((ctmin < BIG) & (cptr >= 0)).astype(jnp.int32)  # (8,1)
+            chit = ((ctmin < BIG) & (cptr != -1)).astype(jnp.int32)  # (8,1)
             hits.append(chit)
             tmins.append(ctmin)
             ptrs.append(cptr)
@@ -171,32 +249,60 @@ def _wide_kernel(rows_ref,
         TN = jnp.concatenate(tmins, axis=1)  # (8,8) f32
         P = jnp.concatenate(ptrs, axis=1)  # (8,8) i32
 
-        nchild = _rowsum(H)  # (8,1)
-        descend = (nchild > 0).astype(jnp.int32) * is_node  # (8,1)
-
-        # One-shot ordered push (no serial selection loop — the per-step
-        # critical path is what the whole kernel is latency-bound on).
-        # rank_c = number of hit children strictly nearer than c (ties by
-        # index); nearest (rank 0) is the descend target, the rest scatter
-        # into the stack far-to-near in a single batched one-hot write.
         def _bw(col):  # (8,1) -> (8,WIDTH)
             return jax.lax.broadcast_in_dim(col, (SUB, WIDTH), (0, 1))
 
+        # Split hit children into internal and leaf sets (the tag bit lives
+        # in the child pointer — no fetch needed to know a child's kind).
+        leafc = ((P >> 30) & 1) * H  # (8,WIDTH) hit leaf children
+        HI = H * (1 - ((P >> 30) & 1))  # hit internal children
+        n_int = _rowsum(HI)  # (8,1)
+        descend = (n_int > 0).astype(jnp.int32) * is_node  # (8,1)
+
+        # Nearest hit LEAF child goes straight into the free pend slot
+        # (skipping the stack and its one-step-per-leaf parking cost).
+        rankL = jnp.zeros((SUB, WIDTH), jnp.int32)
+        for cp in range(WIDTH):
+            tn_cp = TN[:, cp:cp + 1]
+            nearer = ((_bw(tn_cp) < TN)
+                      | ((_bw(tn_cp) == TN) & (cp < c_iota)))
+            rankL = rankL + (nearer
+                             & (_bw(leafc[:, cp:cp + 1]) > 0)
+                             ).astype(jnp.int32)
+        selL0 = leafc * (rankL == 0).astype(jnp.int32)
+        enq = ((_rowsum(leafc) > 0) & (pend_new < 0)
+               & (is_node > 0)).astype(jnp.int32)  # (8,1)
+        enq_ptr = _rowsum(selL0 * P) & LEAF_MASK
+        pend_new = jnp.where(enq > 0, enq_ptr, pend_new)
+
+        # Push set: all hit children except the descend target and the
+        # enqueued leaf. rank_c = number of push-set children strictly
+        # nearer than c (ties by index); scatter far-to-near in one
+        # batched one-hot write.
+        rankI = jnp.zeros((SUB, WIDTH), jnp.int32)
+        for cp in range(WIDTH):
+            tn_cp = TN[:, cp:cp + 1]
+            nearer = ((_bw(tn_cp) < TN)
+                      | ((_bw(tn_cp) == TN) & (cp < c_iota)))
+            rankI = rankI + (nearer
+                             & (_bw(HI[:, cp:cp + 1]) > 0)).astype(jnp.int32)
+        sel0 = HI * (rankI == 0).astype(jnp.int32)  # nearest internal
+        near_ptr = _rowsum(sel0 * P)  # (8,1)
+
+        pushable = (H - sel0 * _bw(descend)
+                    - selL0 * _bw(enq))  # (8,WIDTH) 0/1
+        pushable = pushable * _bw(is_node)
         rank = jnp.zeros((SUB, WIDTH), jnp.int32)
         for cp in range(WIDTH):
-            tn_cp = TN[:, cp:cp + 1]  # (8,1)
+            tn_cp = TN[:, cp:cp + 1]
             nearer = ((_bw(tn_cp) < TN)
                       | ((_bw(tn_cp) == TN) & (cp < c_iota)))
             rank = rank + (nearer
-                           & (_bw(H[:, cp:cp + 1]) > 0)).astype(jnp.int32)
-
-        sel0 = H * (rank == 0).astype(jnp.int32)  # (8,WIDTH)
-        near_ptr = _rowsum(sel0 * P)  # (8,1)
-
-        # Push positions: ptr + (nchild - 1 - rank) for hit children with
-        # rank >= 1, rows that descend only.
-        push_c = H * (rank >= 1).astype(jnp.int32) * _bw(descend)
-        pos_c = _bw(ptr) + _bw(nchild) - 1 - rank  # (8,WIDTH)
+                           & (_bw(pushable[:, cp:cp + 1]) > 0)
+                           ).astype(jnp.int32)
+        npush = _rowsum(pushable)
+        push_c = pushable
+        pos_c = _bw(ptr) + _bw(npush) - 1 - rank  # (8,WIDTH)
         delta = jnp.zeros((SUB, stack_size), jnp.int32)
         written = jnp.zeros((SUB, stack_size), jnp.int32)
         for ci in range(WIDTH):
@@ -209,9 +315,9 @@ def _wide_kernel(rows_ref,
                 P[:, ci:ci + 1], (SUB, stack_size), (0, 1))
             written = written + onehot
         new_stack = stack * (1 - written) + delta
-        pos = ptr + descend * jnp.maximum(nchild - 1, 0)
+        pos = ptr + npush
 
-        # Pop path (leaf rows and no-hit internal rows).
+        # Pop path (parked-leaf rows and no-hit internal rows).
         can_pop = (pos > 0).astype(jnp.int32)
         top = jax.lax.broadcast_in_dim(jnp.maximum(pos - 1, 0),
                                        (SUB, stack_size), (0, 1))
@@ -220,61 +326,62 @@ def _wide_kernel(rows_ref,
         nxt = jnp.where(descend > 0, near_ptr,
                         jnp.where(can_pop > 0, popped, END))
         new_ptr = jnp.where(descend > 0, pos, jnp.maximum(pos - 1, 0))
-        fin = (done > 0) | (nxt >= END)
+
+        retiring = ((nxt & LEAF_MASK) >= END)  # (8,1) bool
+        fin = (done > 0) | (retiring & (pend_new < 0))
         if any_hit:
-            n_blocked = _rowsum(jnp.maximum(new_blocked, 1 - act))
-            fin = fin | (n_blocked >= SUBP)
+            n_blocked = _rowsum(jnp.maximum(tri_ref[...], 1 - act))
+            fin = fin | ((n_blocked >= SUBP) & (pend_new < 0))
         fin = fin.astype(jnp.int32)
-        new_cur = (1 - fin) * nxt
+        # Rows retiring with a parked leaf wait on the inert END row until
+        # the flush clears them.
+        park = jnp.where(retiring, END, nxt)
+        new_cur = (1 - fin) * park
 
-        return (new_cur, new_ptr, fin, new_stack,
-                new_t, new_u, new_v, new_tri, new_blocked, steps + 1)
+        return (new_cur, new_ptr, fin, new_stack, pend_new)
 
-    init = (cur0, ptr0, done0, stack0, t0,
-            jnp.zeros((SUB, SUBP), jnp.float32),
-            jnp.zeros((SUB, SUBP), jnp.float32),
-            jnp.full((SUB, SUBP), -1, jnp.int32),
-            jnp.zeros((SUB, SUBP), jnp.int32),
-            jnp.int32(0))
-    out = lax.while_loop(cond, body, init)
-    (_, _, _, _, t, u, v, tri, blocked, _) = out
-    if any_hit:
-        t_out[0] = t
-        u_out[0] = u
-        v_out[0] = v
-        tri_out[0] = jnp.maximum(blocked, jnp.where(tri >= 0, 1, 0))
-    else:
-        t_out[0] = t
-        u_out[0] = u
-        v_out[0] = v
-        tri_out[0] = tri
+    def cond(carry):
+        steps, sts = carry
+        undone = sum(SUB - jnp.sum(sts[c][2]) for c in range(chains))
+        return jnp.logical_and(undone > 0, steps < max_steps)
+
+    def body(carry):
+        steps, sts = carry
+        return steps + 1, tuple(advance(c, sts[c]) for c in range(chains))
+
+    lax.while_loop(cond, body, (jnp.int32(0), tuple(inits)))
 
 
 @functools.partial(jax.jit,
                    static_argnames=("any_hit", "end_index", "interpret",
-                                    "leaf_cap", "stack_size", "max_steps"))
+                                    "leaf_cap", "stack_size", "max_steps",
+                                    "chains", "flush_fill"))
 def _wide_trace(trav_rows, ox, oy, oz, dx, dy, dz, t0, act,
                 *, any_hit: bool, end_index: int, max_steps: int,
                 interpret: bool = False, leaf_cap: int = LEAF_CAP,
-                stack_size: int = 64):
+                stack_size: int = 64, chains: int = CHAINS,
+                flush_fill: int = 6):
     G = ox.shape[0]
+    C = ox.shape[1]
+    assert C == chains
     kernel = functools.partial(_wide_kernel, end_index=end_index,
                                any_hit=any_hit, leaf_cap=leaf_cap,
-                               max_steps=max_steps, stack_size=stack_size)
+                               max_steps=max_steps, stack_size=stack_size,
+                               chains=chains, flush_fill=flush_fill)
     grid_spec = pl.GridSpec(
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # trav_rows (whole)
-        ] + [pl.BlockSpec((1, SUB, SUBP), lambda g: (g, 0, 0),
+        ] + [pl.BlockSpec((1, C, SUB, SUBP), lambda g: (g, 0, 0, 0),
                           memory_space=pltpu.VMEM)] * 8,
-        out_specs=[pl.BlockSpec((1, SUB, SUBP), lambda g: (g, 0, 0),
+        out_specs=[pl.BlockSpec((1, C, SUB, SUBP), lambda g: (g, 0, 0, 0),
                                 memory_space=pltpu.VMEM)] * 4,
     )
     out_shape = [
-        jax.ShapeDtypeStruct((G, SUB, SUBP), jnp.float32),
-        jax.ShapeDtypeStruct((G, SUB, SUBP), jnp.float32),
-        jax.ShapeDtypeStruct((G, SUB, SUBP), jnp.float32),
-        jax.ShapeDtypeStruct((G, SUB, SUBP), jnp.int32),
+        jax.ShapeDtypeStruct((G, C, SUB, SUBP), jnp.float32),
+        jax.ShapeDtypeStruct((G, C, SUB, SUBP), jnp.float32),
+        jax.ShapeDtypeStruct((G, C, SUB, SUBP), jnp.float32),
+        jax.ShapeDtypeStruct((G, C, SUB, SUBP), jnp.int32),
     ]
     t, u, v, tri = pl.pallas_call(
         kernel,
@@ -298,10 +405,11 @@ def intersect_wide(scene, ro, rd, tmax=None, active=None,
     """
     R = ro.shape[0]
     assert R % TILE == 0, f"ray count {R} must be a multiple of {TILE}"
-    G = R // TILE
+    chains = CHAINS if R % (TILE * CHAINS) == 0 else 1
+    G = R // (TILE * chains)
 
     def shape(x):
-        return x.reshape(G, SUB, SUBP)
+        return x.reshape(G, chains, SUB, SUBP)
 
     t0 = jnp.full(R, T_FAR, jnp.float32) if tmax is None else tmax
     act = (jnp.ones(R, jnp.int32) if active is None
@@ -316,9 +424,11 @@ def intersect_wide(scene, ro, rd, tmax=None, active=None,
         max_steps=4 * int(scene.wide_end) + 64,
         interpret=interpret,
         leaf_cap=int(getattr(scene, "leaf_cap", LEAF_CAP)),
-        stack_size=int(scene.wide_stack))
+        stack_size=int(scene.wide_stack), chains=chains)
 
     tri = tri.reshape(R)
+    if any_hit:
+        tri = jnp.where(tri > 0, tri, -1)  # blocked flag -> hit/miss tri
     if active is not None:
         tri = jnp.where(active, tri, -1)
     return Hit(t.reshape(R), tri, u.reshape(R), v.reshape(R))

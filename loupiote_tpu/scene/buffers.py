@@ -332,7 +332,9 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
 
     wide = collapse_wide(bvh, tri9)
     trav = wide.trav_rows
-    Wp = _ceil_to(trav.shape[0], 8)
+    # +1: row[end_index] must exist — the kernel parks retiring rows with a
+    # pending leaf on it (an inert internal row) until the final flush.
+    Wp = _ceil_to(trav.shape[0] + 1, 8)
     trav = pad_rows(trav, Wp, 0.0)
     # Padded rows read as internal nodes with all-empty children.
     for c in range(8):

@@ -56,6 +56,35 @@ def _occluded_brute(p0, e1, e2, ro, rd, dist):
     return tri >= 0
 
 
+def _light_quad_emission(l_o, l_u, l_v, l_e, ro, rd, t_geo):
+    """Analytic light-quad emission visible along (ro, rd) before the
+    geometry hit at t_geo. Camera rays are not covered by NEE, so the
+    oracle adds this at bounce 0 only — matching the renderer's
+    light-visible-to-camera semantics (ops/shade.py intersect_lights)."""
+    out = np.zeros((len(ro), 3))
+    best_t = np.full(len(ro), np.inf)
+    for li in range(len(l_o)):
+        nrm = np.cross(l_u[li], l_v[li])
+        area = np.linalg.norm(nrm)
+        nrm_u = nrm / max(area, 1e-12)
+        denom = rd @ nrm_u
+        safe = np.where(np.abs(denom) > 1e-9, denom, 1e-9)
+        t = ((l_o[li] - ro) @ nrm_u) / safe
+        p = ro + rd * t[:, None]
+        rel = p - l_o[li]
+        uu, vv = l_u[li] @ l_u[li], l_v[li] @ l_v[li]
+        uv = l_u[li] @ l_v[li]
+        pu, pv = rel @ l_u[li], rel @ l_v[li]
+        det = max(uu * vv - uv * uv, 1e-12)
+        a = (pu * vv - pv * uv) / det
+        b = (pv * uu - pu * uv) / det
+        ok = ((a >= 0) & (a <= 1) & (b >= 0) & (b <= 1) & (t > T_MIN)
+              & (t < t_geo) & (t < best_t) & (np.abs(denom) > 1e-9))
+        out = np.where(ok[:, None], l_e[li], out)
+        best_t = np.where(ok, t, best_t)
+    return out
+
+
 def _brdf(albedo, rough, metal, n, wo, wi):
     """Metallic-roughness BRDF, standard equations re-written from scratch:
     Lambert * (1-metal) * (1-F) + GGX D * separable SmithG * SchlickF."""
@@ -136,6 +165,10 @@ def trace_oracle(bufs, cam_to_world, width, height, vfov, spp, bounces,
         for _b in range(bounces):
             t, tri, u, v = _intersect_brute(p0, e1, e2, ro, rd)
             hit = (tri >= 0) & alive
+            if _b == 0 and nl > 0:
+                # Camera-visible analytic lights (not covered by NEE).
+                rad += _light_quad_emission(l_o, l_u, l_v, l_e, ro, rd,
+                                            np.where(hit, t, np.inf))
             idx = np.maximum(tri, 0)
             w0 = 1 - u - v
             n = (n0[idx] * w0[:, None] + n1[idx] * u[:, None]

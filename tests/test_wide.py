@@ -50,10 +50,17 @@ def test_wide_table_structure(tri_scene):
     n_leaf = int((kinds == 1).sum())
     n_wide = int((kinds == 0).sum())
     assert n_leaf + n_wide == bufs.wide_end
-    # Every child pointer of a wide row is -1 or a valid row index.
+    # Every child pointer of a wide row is -1 or a valid row index; leaf
+    # children carry the tag bit and point at leaf rows.
+    from loupiote_tpu.accel.wide import LEAF_MASK, LEAF_TAG
+
     for c in range(8):
         ptr = rows[:bufs.wide_end][kinds == 0][:, 16 * c + 6].view(np.int32)
-        assert ((ptr == -1) | ((ptr >= 0) & (ptr < bufs.wide_end))).all()
+        tagged = (ptr >= 0) & (ptr & LEAF_TAG > 0)
+        idx = ptr & LEAF_MASK
+        assert ((ptr == -1) | ((idx >= 0) & (idx < bufs.wide_end))).all()
+        leaf_kinds = rows[idx[tagged], 127].view(np.int32)
+        assert (leaf_kinds == 1).all()
     # All triangles reachable: sum of leaf counts == num_tris.
     fc = rows[:bufs.wide_end][kinds == 1][:, 126].view(np.int32)
     assert int((fc & 15).sum()) == bufs.num_tris
