@@ -79,14 +79,25 @@ def main():
     extra["nonzero_pixel_frac"] = round(
         float((np.asarray(out).reshape(-1, 3).sum(1) > 0).mean()), 3)
 
-    # --- Extra: primary-wave traversal throughput (coherent). ---------------
-    # NOTE: inputs must be fresh per call — the tunneled TPU backend caches
-    # identical-input executions, which silently inflates same-input timing
-    # by ~10-100x.
-    prim = jax.jit(lambda k: intersect_pallas(
-        bufs, *[to_tile_order(x, width, height) for x in
-                generate_rays(cam, width, height, 0.785,
-                              jr.uniform(k, (pixels, 2)))]).t)
+    # --- Extras: per-wave traversal throughput (the perf-regression gate:
+    # VERDICT r1 item 6 — per-wave ms recorded every round). Primary =
+    # coherent camera wave; diffuse = cosine-sampled continuation wave
+    # after the octant+Morton sort; shadow = any-hit wave on the same
+    # origins. NOTE: inputs must be fresh per call — the tunneled TPU
+    # backend caches identical-input executions, which silently inflates
+    # same-input timing by ~10-100x.
+    from loupiote_tpu.ops.intersect import intersect_any, occluded
+    from loupiote_tpu.ops.sampling import (cosine_sample_hemisphere,
+                                           orthonormal_basis, to_world)
+    from loupiote_tpu.ops.sort import ray_sort_key, sort_order
+
+    def primary_rays(k):
+        ro, rd = generate_rays(cam, width, height, 0.785,
+                               jr.uniform(k, (pixels, 2)))
+        return (to_tile_order(ro, width, height),
+                to_tile_order(rd, width, height))
+
+    prim = jax.jit(lambda k: intersect_any(bufs, *primary_rays(k)).t)
     outp = prim(jr.PRNGKey(100))
     jax.block_until_ready(outp)
     dtp = float("inf")
@@ -96,6 +107,40 @@ def main():
         jax.block_until_ready(outp)
         dtp = min(dtp, time.time() - t0)
     extra["primary_mrays"] = round(pixels / dtp / 1e6, 1)
+    extra["primary_ms"] = round(dtp * 1e3, 1)
+
+    @jax.jit
+    def diffuse_wave(k):
+        ro, rd = primary_rays(k)
+        hit = intersect_any(bufs, ro, rd)
+        tri = jnp.maximum(hit.tri, 0)
+        gn = bufs.tri_shade[tri, 17:20]
+        gn = jnp.where((jnp.sum(gn * rd, axis=1) > 0)[:, None], -gn, gn)
+        pos = ro + hit.t[:, None] * rd + gn * 1e-3
+        u = jr.uniform(jr.fold_in(k, 1), (pixels, 2))
+        tb, bt = orthonormal_basis(gn)
+        nd = to_world(gn, tb, bt, cosine_sample_hemisphere(u[:, 0], u[:, 1]))
+        alive = hit.tri >= 0
+        order = sort_order(ray_sort_key(pos, nd, alive, bufs.node_min[0],
+                                        bufs.node_max[0]))
+        return pos[order], nd[order], alive[order]
+
+    dro, drd, dal = jax.block_until_ready(diffuse_wave(jr.PRNGKey(200)))
+    diff = jax.jit(lambda a, b, al: intersect_any(bufs, a, b, active=al).t)
+    shad = jax.jit(lambda a, b, al: occluded(bufs, a, b,
+                                             jnp.full(a.shape[0], 30.0),
+                                             active=al))
+    for name, fn in (("diffuse_sorted_ms", diff), ("shadow_ms", shad)):
+        out = fn(dro, drd, dal)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for i in range(4):
+            dro, drd, dal = diffuse_wave(jr.PRNGKey(201 + i))
+            t0 = time.time()
+            out = fn(dro, drd, dal)
+            jax.block_until_ready(out)
+            best = min(best, time.time() - t0)
+        extra[name] = round(best * 1e3, 1)
 
     # --- Extra: Cornell 1080p-window interactive (config[2]). ---------------
     s2 = Scene.default()

@@ -259,47 +259,47 @@ def _wide_kernel(rows_ref,
         n_int = _rowsum(HI)  # (8,1)
         descend = (n_int > 0).astype(jnp.int32) * is_node  # (8,1)
 
-        # Nearest hit LEAF child goes straight into the free pend slot
-        # (skipping the stack and its one-step-per-leaf parking cost).
-        rankL = jnp.zeros((SUB, WIDTH), jnp.int32)
+        # ONE pairwise rank over all hit children (distinct per hit child —
+        # ties broken by index); the leaf-enqueue pick, descend target, and
+        # push positions all derive from it (three separate rank loops
+        # measured as a real share of the op-bound step).
+        rank_all = jnp.zeros((SUB, WIDTH), jnp.int32)
         for cp in range(WIDTH):
             tn_cp = TN[:, cp:cp + 1]
             nearer = ((_bw(tn_cp) < TN)
                       | ((_bw(tn_cp) == TN) & (cp < c_iota)))
-            rankL = rankL + (nearer
-                             & (_bw(leafc[:, cp:cp + 1]) > 0)
-                             ).astype(jnp.int32)
-        selL0 = leafc * (rankL == 0).astype(jnp.int32)
+            rank_all = rank_all + (nearer
+                                   & (_bw(H[:, cp:cp + 1]) > 0)
+                                   ).astype(jnp.int32)
+
+        # Nearest hit LEAF child goes straight into the free pend slot
+        # (skipping the stack and its one-step-per-leaf parking cost).
+        minL = jnp.min(jnp.where(leafc > 0, rank_all, WIDTH), axis=1,
+                       keepdims=True)  # (8,1)
+        selL0 = leafc * (rank_all == _bw(minL)).astype(jnp.int32)
         enq = ((_rowsum(leafc) > 0) & (pend_new < 0)
                & (is_node > 0)).astype(jnp.int32)  # (8,1)
         enq_ptr = _rowsum(selL0 * P) & LEAF_MASK
         pend_new = jnp.where(enq > 0, enq_ptr, pend_new)
 
-        # Push set: all hit children except the descend target and the
-        # enqueued leaf. rank_c = number of push-set children strictly
-        # nearer than c (ties by index); scatter far-to-near in one
-        # batched one-hot write.
-        rankI = jnp.zeros((SUB, WIDTH), jnp.int32)
-        for cp in range(WIDTH):
-            tn_cp = TN[:, cp:cp + 1]
-            nearer = ((_bw(tn_cp) < TN)
-                      | ((_bw(tn_cp) == TN) & (cp < c_iota)))
-            rankI = rankI + (nearer
-                             & (_bw(HI[:, cp:cp + 1]) > 0)).astype(jnp.int32)
-        sel0 = HI * (rankI == 0).astype(jnp.int32)  # nearest internal
+        # Nearest hit INTERNAL child is the descend target.
+        minI = jnp.min(jnp.where(HI > 0, rank_all, WIDTH), axis=1,
+                       keepdims=True)  # (8,1)
+        sel0 = HI * (rank_all == _bw(minI)).astype(jnp.int32)
         near_ptr = _rowsum(sel0 * P)  # (8,1)
 
+        # Push set: all hit children except the descend target and the
+        # enqueued leaf. Ranks within the push set come from rank_all minus
+        # the (at most two) excluded nearer children; scatter far-to-near
+        # in one batched one-hot write.
         pushable = (H - sel0 * _bw(descend)
                     - selL0 * _bw(enq))  # (8,WIDTH) 0/1
         pushable = pushable * _bw(is_node)
-        rank = jnp.zeros((SUB, WIDTH), jnp.int32)
-        for cp in range(WIDTH):
-            tn_cp = TN[:, cp:cp + 1]
-            nearer = ((_bw(tn_cp) < TN)
-                      | ((_bw(tn_cp) == TN) & (cp < c_iota)))
-            rank = rank + (nearer
-                           & (_bw(pushable[:, cp:cp + 1]) > 0)
-                           ).astype(jnp.int32)
+        rank = (rank_all
+                - (_bw(descend * minI) < rank_all).astype(jnp.int32)
+                * _bw(descend)
+                - (_bw(enq * minL + (1 - enq) * WIDTH) < rank_all
+                   ).astype(jnp.int32))
         npush = _rowsum(pushable)
         push_c = pushable
         pos_c = _bw(ptr) + _bw(npush) - 1 - rank  # (8,WIDTH)
