@@ -66,10 +66,13 @@ def main():
     extra["triangles"] = scene.stats()["triangles"]
     cam = jnp.asarray(arch_camera())
 
-    frame_jit = jax.jit(lambda k: trace_paths(bufs, cam, width, height, k,
-                                              bounces=bounces)[0])
+    # NOTE: scene buffers are jit ARGUMENTS, not closure constants — a
+    # closure embeds the ~90MB scene tables as per-executable constants,
+    # which the tunneled backend rejects after a few executables.
+    frame_jit = jax.jit(lambda b, k: trace_paths(b, cam, width, height, k,
+                                                 bounces=bounces)[0])
     t0 = time.time()
-    dt, out = _timeit(frame_jit, 4, lambda i: (jr.PRNGKey(i + 10),))
+    dt, out = _timeit(frame_jit, 4, lambda i: (bufs, jr.PRNGKey(i + 10)))
     extra["compile_s"] = round(time.time() - t0 - 6 * dt, 1)
 
     pixels = width * height
@@ -78,6 +81,12 @@ def main():
     extra["frame_ms"] = round(dt * 1000, 1)
     extra["nonzero_pixel_frac"] = round(
         float((np.asarray(out).reshape(-1, 3).sum(1) > 0).mean()), 3)
+
+    def _guard(name, fn):
+        try:
+            fn()
+        except Exception as e:  # never kill the bench for an extra
+            extra[name + "_error"] = repr(e)[:200]
 
     # --- Extras: per-wave traversal throughput (the perf-regression gate:
     # VERDICT r1 item 6 — per-wave ms recorded every round). Primary =
@@ -97,76 +106,86 @@ def main():
         return (to_tile_order(ro, width, height),
                 to_tile_order(rd, width, height))
 
-    prim = jax.jit(lambda k: intersect_any(bufs, *primary_rays(k)).t)
-    outp = prim(jr.PRNGKey(100))
-    jax.block_until_ready(outp)
-    dtp = float("inf")
-    for i in range(6):
-        t0 = time.time()
-        outp = prim(jr.PRNGKey(101 + i))  # fresh key per call
-        jax.block_until_ready(outp)
-        dtp = min(dtp, time.time() - t0)
-    extra["primary_mrays"] = round(pixels / dtp / 1e6, 1)
-    extra["primary_ms"] = round(dtp * 1e3, 1)
+    def _wave_extras():
+      prim = jax.jit(lambda b, k: intersect_any(b, *primary_rays(k)).t)
+      outp = prim(bufs, jr.PRNGKey(100))
+      jax.block_until_ready(outp)
+      dtp = float("inf")
+      for i in range(6):
+          t0 = time.time()
+          outp = prim(bufs, jr.PRNGKey(101 + i))  # fresh key per call
+          jax.block_until_ready(outp)
+          dtp = min(dtp, time.time() - t0)
+      extra["primary_mrays"] = round(pixels / dtp / 1e6, 1)
+      extra["primary_ms"] = round(dtp * 1e3, 1)
 
-    @jax.jit
-    def diffuse_wave(k):
-        ro, rd = primary_rays(k)
-        hit = intersect_any(bufs, ro, rd)
-        tri = jnp.maximum(hit.tri, 0)
-        gn = bufs.tri_shade[tri, 17:20]
-        gn = jnp.where((jnp.sum(gn * rd, axis=1) > 0)[:, None], -gn, gn)
-        pos = ro + hit.t[:, None] * rd + gn * 1e-3
-        u = jr.uniform(jr.fold_in(k, 1), (pixels, 2))
-        tb, bt = orthonormal_basis(gn)
-        nd = to_world(gn, tb, bt, cosine_sample_hemisphere(u[:, 0], u[:, 1]))
-        alive = hit.tri >= 0
-        order = sort_order(ray_sort_key(pos, nd, alive, bufs.node_min[0],
-                                        bufs.node_max[0]))
-        return pos[order], nd[order], alive[order]
+      @jax.jit
+      def diffuse_wave(b, k):
+          ro, rd = primary_rays(k)
+          hit = intersect_any(b, ro, rd)
+          tri = jnp.maximum(hit.tri, 0)
+          gn = b.tri_shade[tri, 17:20]
+          gn = jnp.where((jnp.sum(gn * rd, axis=1) > 0)[:, None], -gn, gn)
+          pos = ro + hit.t[:, None] * rd + gn * 1e-3
+          u = jr.uniform(jr.fold_in(k, 1), (pixels, 2))
+          tb, bt = orthonormal_basis(gn)
+          nd = to_world(gn, tb, bt, cosine_sample_hemisphere(u[:, 0], u[:, 1]))
+          alive = hit.tri >= 0
+          order = sort_order(ray_sort_key(pos, nd, alive, b.node_min[0],
+                                          b.node_max[0]))
+          return pos[order], nd[order], alive[order]
 
-    dro, drd, dal = jax.block_until_ready(diffuse_wave(jr.PRNGKey(200)))
-    diff = jax.jit(lambda a, b, al: intersect_any(bufs, a, b, active=al).t)
-    shad = jax.jit(lambda a, b, al: occluded(bufs, a, b,
-                                             jnp.full(a.shape[0], 30.0),
-                                             active=al))
-    for name, fn in (("diffuse_sorted_ms", diff), ("shadow_ms", shad)):
-        out = fn(dro, drd, dal)
-        jax.block_until_ready(out)
-        best = float("inf")
-        for i in range(4):
-            dro, drd, dal = diffuse_wave(jr.PRNGKey(201 + i))
-            t0 = time.time()
-            out = fn(dro, drd, dal)
-            jax.block_until_ready(out)
-            best = min(best, time.time() - t0)
-        extra[name] = round(best * 1e3, 1)
+      dro, drd, dal = jax.block_until_ready(
+          diffuse_wave(bufs, jr.PRNGKey(200)))
+      diff = jax.jit(lambda sc, a, b, al: intersect_any(sc, a, b,
+                                                        active=al).t)
+      shad = jax.jit(lambda sc, a, b, al: occluded(sc, a, b,
+                                                   jnp.full(a.shape[0], 30.0),
+                                                   active=al))
+      for name, fn in (("diffuse_sorted_ms", diff), ("shadow_ms", shad)):
+          out = fn(bufs, dro, drd, dal)
+          jax.block_until_ready(out)
+          best = float("inf")
+          for i in range(4):
+              dro, drd, dal = jax.block_until_ready(
+                  diffuse_wave(bufs, jr.PRNGKey(201 + i)))
+              t0 = time.time()
+              out = fn(bufs, dro, drd, dal)
+              jax.block_until_ready(out)
+              best = min(best, time.time() - t0)
+          extra[name] = round(best * 1e3, 1)
 
-    # --- Extra: Cornell 1080p-window interactive (config[2]). ---------------
-    s2 = Scene.default()
-    load_gltf_path("/root/reference/assets/cornell-box.glb", s2)
-    s2.lights = [Light(
-        origin=np.array([-1.0, 3.55, -0.8], np.float32),
-        edge_u=np.array([2.0, 0.0, 0.0], np.float32),
-        edge_v=np.array([0.0, 0.0, 1.6], np.float32),
-        emission=np.array([1.0, 0.95, 0.9], np.float32), intensity=20.0)]
-    bufs2 = build_scene_buffers(s2)
-    cam2 = np.eye(4, dtype=np.float32)
-    cam2[:3, 0], cam2[:3, 1] = [1, 0, 0], [0, 1, 0]
-    cam2[:3, 2], cam2[:3, 3] = [0, 0, -1], [0, 0.6, 12]
-    r = Renderer((width, height), RenderConfig(downsample_factor=0.5))
-    r.set_resources(bufs2)
-    r.set_blit_mode(BlitMode.DENOISED_PATHTRACE)
-    r.raytrace(cam2)
-    jax.block_until_ready(r.state.denoised)
-    dtc = float("inf")
-    for _ in range(8):
-        t0 = time.time()
-        r.raytrace(cam2)
-        jax.block_until_ready(r.state.denoised)
-        dtc = min(dtc, time.time() - t0)
-    extra["cornell_1spp_svgf_ms"] = round(dtc * 1000, 1)
-    extra["cornell_fps"] = round(1.0 / dtc, 1)
+    _guard("waves", _wave_extras)
+
+    def _cornell():
+      # --- Extra: Cornell 1080p-window interactive (config[2]). ---------------
+      s2 = Scene.default()
+      load_gltf_path("/root/reference/assets/cornell-box.glb", s2)
+      s2.lights = [Light(
+          origin=np.array([-1.0, 3.55, -0.8], np.float32),
+          edge_u=np.array([2.0, 0.0, 0.0], np.float32),
+          edge_v=np.array([0.0, 0.0, 1.6], np.float32),
+          emission=np.array([1.0, 0.95, 0.9], np.float32), intensity=20.0)]
+      bufs2 = build_scene_buffers(s2)
+      cam2 = np.eye(4, dtype=np.float32)
+      cam2[:3, 0], cam2[:3, 1] = [1, 0, 0], [0, 1, 0]
+      cam2[:3, 2], cam2[:3, 3] = [0, 0, -1], [0, 0.6, 12]
+      r = Renderer((width, height), RenderConfig(downsample_factor=0.5))
+      r.set_resources(bufs2)
+      r.set_blit_mode(BlitMode.DENOISED_PATHTRACE)
+      r.raytrace(cam2)
+      jax.block_until_ready(r.state.denoised)
+      dtc = float("inf")
+      for _ in range(8):
+          t0 = time.time()
+          r.raytrace(cam2)
+          jax.block_until_ready(r.state.denoised)
+          dtc = min(dtc, time.time() - t0)
+      extra["cornell_1spp_svgf_ms"] = round(dtc * 1000, 1)
+      extra["cornell_fps"] = round(1.0 / dtc, 1)
+
+
+    _guard("cornell", _cornell)
 
     result = {
         "metric": "arch260k_1080p_3bounce_nee_mrays_per_s_per_chip",

@@ -1,0 +1,120 @@
+"""On-device kernel equivalence run (VERDICT r1 item 6).
+
+Compares the Mosaic-compiled wide kernel against the Mosaic-compiled BVH2
+sub-packet kernel AND the XLA packet traversal on the real TPU, on both a
+random-triangle scene and the arch-260k scene, for closest-hit and any-hit
+semantics. Catches Mosaic-specific divergence that interpret-mode CPU tests
+cannot (int32 masking, relayouts, pl.when effects).
+
+Writes DEVICE_CHECKS.md at the repo root with the results; run after any
+kernel change:  python experiments/tpu_equivalence.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def check(name, bufs, ro, rd, alive, lines):
+    import jax
+    import jax.numpy as jnp
+
+    from loupiote_tpu.ops.intersect import intersect_packets
+    from loupiote_tpu.ops.pallas_intersect import (intersect_pallas,
+                                                   occluded_pallas)
+    from loupiote_tpu.ops.pallas_wide import intersect_wide, occluded_wide
+
+    ro, rd = jnp.asarray(ro), jnp.asarray(rd)
+    act = jnp.asarray(alive)
+    hw = jax.jit(lambda a, b, c: intersect_wide(bufs, a, b, active=c))(
+        ro, rd, act)
+    h2 = jax.jit(lambda a, b, c: intersect_pallas(bufs, a, b, active=c))(
+        ro, rd, act)
+    hx = jax.jit(lambda a, b, c: intersect_packets(bufs, a, b, active=c))(
+        ro, rd, act)
+    tw, t2, tx = (np.asarray(h.t) for h in (hw, h2, hx))
+    trw, tr2, trx = (np.asarray(h.tri) for h in (hw, h2, hx))
+    agree_tri = float((trw == tr2).mean())
+    agree_xla = float((trw == trx).mean())
+    # t can only differ where a t-tie picked another triangle.
+    tdiff = float(np.abs(np.where(trw == tr2, tw - t2, 0)).max())
+
+    tmax = jnp.full(ro.shape[0], 25.0)
+    bw = jax.jit(lambda a, b, c: occluded_wide(bufs, a, b, tmax, active=c))(
+        ro, rd, act)
+    b2 = jax.jit(lambda a, b, c: occluded_pallas(bufs, a, b, tmax,
+                                                 active=c))(ro, rd, act)
+    agree_sh = float((np.asarray(bw) == np.asarray(b2)).mean())
+    lines.append(f"| {name} | {agree_tri:.6f} | {agree_xla:.6f} | "
+                 f"{tdiff:.2e} | {agree_sh:.6f} |")
+    ok = agree_tri > 0.999 and agree_xla > 0.999 and agree_sh == 1.0
+    lines.append(f"  <!-- {'PASS' if ok else 'FAIL'} -->")
+    return ok
+
+
+def main():
+    import jax
+
+    from measure_traversal import build, make_waves
+    from loupiote_tpu.scene import Scene, build_scene_buffers
+    from loupiote_tpu.scene.types import Instance, Mesh
+
+    dev = str(jax.devices()[0])
+    lines = [
+        "# On-device kernel equivalence (auto-generated)",
+        "",
+        f"Device: {dev}; date: {time.strftime('%Y-%m-%d %H:%M')} UTC;",
+        "script: experiments/tpu_equivalence.py. tri-agreement < 1.0 comes",
+        "only from t-ties (two triangles at equal distance); the masked",
+        "t-maxdiff column proves it.",
+        "",
+        "| scene/wave | tri agree (wide vs bvh2) | tri agree (wide vs XLA) "
+        "| t maxdiff (same tri) | shadow agree |",
+        "|---|---|---|---|---|",
+    ]
+    ok = True
+
+    # Random triangle soup, random rays.
+    rng = np.random.default_rng(7)
+    n = 4000
+    v0 = ((rng.random((n, 3)) - 0.5) * 20).astype(np.float32)
+    v1 = v0 + (rng.random((n, 3)) - 0.5).astype(np.float32)
+    v2 = v0 + (rng.random((n, 3)) - 0.5).astype(np.float32)
+    scene = Scene.default()
+    pos = np.empty((n * 3, 3), np.float32)
+    pos[0::3], pos[1::3], pos[2::3] = v0, v1, v2
+    scene.meshes.append(Mesh(pos, None, None,
+                             np.arange(n * 3, dtype=np.uint32)))
+    scene.instances.append(Instance(0, np.eye(4, dtype=np.float32), 0))
+    bufs = build_scene_buffers(scene)
+    R = 64 * 1024
+    ro = ((rng.random((R, 3)) - 0.5) * 30).astype(np.float32)
+    rd = (rng.random((R, 3)) - 0.5).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    ok &= check("random-4k / random rays", bufs, ro, rd,
+                np.ones(R, bool), lines)
+
+    # Arch-260k: primary and diffuse waves.
+    bufs, cam = build()
+    ro, rd, dro, drd, alive = make_waves(bufs, cam, W=1024, H=512)
+    ok &= check("arch-260k / primary", bufs, ro, rd,
+                np.ones(len(ro), bool), lines)
+    ok &= check("arch-260k / diffuse", bufs, dro, drd, alive, lines)
+
+    lines.append("")
+    lines.append(f"Overall: {'PASS' if ok else 'FAIL'}")
+    out = "\n".join(lines) + "\n"
+    with open(os.path.join(ROOT, "DEVICE_CHECKS.md"), "w") as f:
+        f.write(out)
+    print(out)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -96,6 +96,20 @@ def cmd_flythrough(args):
     print(f"wrote {args.frames} frames to {args.outdir}")
 
 
+def cmd_serve(args):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    from .app.server import ViewerServer
+
+    d = _setup(args)
+    d.settings.accumulate = True
+    srv = ViewerServer(d, host=args.host, port=args.port)
+    print(f"viewer at http://{args.host}:{srv.port}/ "
+          f"(WASD/arrows move, drag rotates, space toggles accumulation)")
+    srv.serve_forever()
+
+
 def cmd_info(args):
     from .scene import Scene, load_gltf_path
 
@@ -126,6 +140,14 @@ def main(argv=None):
     pi = sub.add_parser("info", help="print scene stats")
     pi.add_argument("scene")
     pi.set_defaults(fn=cmd_info)
+
+    ps = sub.add_parser("serve", help="live browser viewer (interactive "
+                                      "window analog)")
+    ps.add_argument("scene")
+    ps.add_argument("--port", type=int, default=8722)
+    ps.add_argument("--host", default="0.0.0.0")
+    _add_common(ps)
+    ps.set_defaults(fn=cmd_serve)
 
     args = parser.parse_args(argv)
     return args.fn(args)

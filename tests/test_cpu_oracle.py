@@ -30,10 +30,10 @@ def test_renderer_matches_cpu_oracle(cornell_bufs):
     bounces = 3
 
     oracle = trace_oracle(cornell_bufs, CORNELL_CAM, w, h, vfov,
-                          spp=600, bounces=bounces, seed=11)
+                          spp=300, bounces=bounces, seed=11)
 
     frames = []
-    for k in range(40):
+    for k in range(24):
         r, _ = trace_paths(cornell_bufs, jnp.asarray(CORNELL_CAM), w, h,
                            jr.PRNGKey(500 + k), bounces=bounces, vfov=vfov)
         frames.append(np.asarray(r).reshape(h, w, 3))

@@ -1,0 +1,99 @@
+"""Live viewer server: frame streaming + input round trip (VERDICT r1 #8).
+
+Runs the full HTTP stack against a tiny Cornell render on the CPU backend:
+frames must advance, input must drive the camera controller, and /stats
+must reflect driver state — the reference's interactive-window behaviors
+(`crates/standalone/src/app.rs:269-344`) over HTTP.
+"""
+
+import json
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from loupiote_tpu.app import Driver, ViewerServer
+from loupiote_tpu.config import BlitMode, RenderConfig
+
+
+@pytest.fixture(scope="module")
+def server(cornell_scene):
+    from loupiote_tpu.scene import build_scene_buffers
+
+    d = Driver(size=(64, 64), config=RenderConfig(downsample_factor=1.0))
+    d.scene = cornell_scene
+    d.upload_scene()
+    d.settings.blit_mode = BlitMode.PATHTRACE
+    d.settings.accumulate = True
+    srv = ViewerServer(d, host="127.0.0.1", port=0, max_fps=30).start()
+    yield srv
+    srv.stop()
+
+
+def _get(srv, path):
+    return urllib.request.urlopen(
+        f"http://127.0.0.1:{srv.port}{path}", timeout=30)
+
+
+def _post(srv, path, obj):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=json.dumps(obj).encode(), method="POST")
+    return urllib.request.urlopen(req, timeout=30)
+
+
+def test_page_and_frames_advance(server):
+    page = _get(server, "/").read()
+    assert b"loupiote-tpu viewer" in page
+
+    # First frame waits out the jit compile.
+    deadline = time.time() + 180
+    r1 = None
+    while time.time() < deadline:
+        r1 = _get(server, "/frame?after=-1")
+        if r1.status == 200:
+            break
+        time.sleep(1.0)
+    assert r1 is not None and r1.status == 200
+    fid1 = int(r1.headers["X-Frame-Id"])
+    jpeg = r1.read()
+    assert jpeg[:2] == b"\xff\xd8"  # JPEG SOI
+    r2 = _get(server, f"/frame?after={fid1}")
+    assert int(r2.headers["X-Frame-Id"]) > fid1
+
+
+def test_input_drives_camera(server):
+    d = server.driver
+    origin0 = np.array(d.camera_controller.origin, np.float32).copy()
+    _post(server, "/input", {"type": "key", "key": "w", "pressed": True})
+    time.sleep(0.1)
+    fid = int(_get(server, "/frame?after=-1").headers["X-Frame-Id"])
+    _get(server, f"/frame?after={fid + 2}")  # let a few frames pass
+    _post(server, "/input", {"type": "key", "key": "w", "pressed": False})
+    deadline = time.time() + 20
+    while time.time() < deadline:
+        if not np.allclose(d.camera_controller.origin, origin0):
+            break
+        time.sleep(0.2)
+    assert not np.allclose(d.camera_controller.origin, origin0)
+
+    _post(server, "/input", {"type": "drag", "dx": 30.0, "dy": 0.0})
+    time.sleep(0.5)
+
+
+def test_stats_and_commands(server):
+    d = server.driver
+    before = d.settings.accumulate
+    _post(server, "/input", {"type": "command",
+                             "command": "toggle_accumulation"})
+    deadline = time.time() + 20
+    while time.time() < deadline and d.settings.accumulate == before:
+        time.sleep(0.2)
+    assert d.settings.accumulate != before
+    _post(server, "/input", {"type": "command",
+                             "command": "toggle_accumulation"})
+
+    stats = json.loads(_get(server, "/stats").read())
+    assert "fps" in stats and "frame_ms" in stats
+    assert stats["triangles"] >= 1
