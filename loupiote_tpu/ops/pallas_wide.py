@@ -102,12 +102,14 @@ def _moller_trumbore(rs, ray, mask_col, t_best, leaf_cap, any_hit,
         ok = (valid & lane_ok
               & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
               & (tt > T_MIN) & (tt < t))
-        t = jnp.where(ok, tt, t)
-        u = jnp.where(ok, uu, u)
-        v = jnp.where(ok, vv, v)
-        tri = jnp.where(ok, _bc(lfirst) + k, tri)
         if any_hit:
+            # Shadow rays need one bit, not best-hit bookkeeping.
             new_blocked = jnp.maximum(new_blocked, ok.astype(jnp.int32))
+        else:
+            t = jnp.where(ok, tt, t)
+            u = jnp.where(ok, uu, u)
+            v = jnp.where(ok, vv, v)
+            tri = jnp.where(ok, _bc(lfirst) + k, tri)
     if any_hit:
         blocked_ref[...] = jnp.maximum(blocked_ref[...], new_blocked)
     return t, u, v, tri
@@ -262,9 +264,16 @@ def _wide_kernel(rows_ref,
         # ONE pairwise rank over all hit children (distinct per hit child —
         # ties broken by index); the leaf-enqueue pick, descend target, and
         # push positions all derive from it (three separate rank loops
-        # measured as a real share of the op-bound step).
+        # measured as a real share of the op-bound step). Shadow (any-hit)
+        # traversal needs no near-first ordering: index-order ranks via a
+        # prefix sum drop the pairwise-tnear block entirely.
         rank_all = jnp.zeros((SUB, WIDTH), jnp.int32)
         for cp in range(WIDTH):
+            if any_hit:
+                if cp:
+                    rank_all = rank_all + ((c_iota >= cp).astype(jnp.int32)
+                                           * _bw(H[:, cp - 1:cp]))
+                continue
             tn_cp = TN[:, cp:cp + 1]
             nearer = ((_bw(tn_cp) < TN)
                       | ((_bw(tn_cp) == TN) & (cp < c_iota)))

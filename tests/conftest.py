@@ -17,6 +17,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# CLI entry points enable the persistent compilation cache; inside the test
+# process that cache is shared with concurrent TPU runs and a corrupt entry
+# segfaults deserialization (observed). Tests never want it.
+jax.config.update("jax_enable_compilation_cache", False)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
