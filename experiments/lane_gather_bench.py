@@ -113,20 +113,23 @@ def main():
     args = [jnp.asarray(a) for a in (tab, ox, oy, oz, dx, dy, dz)]
 
     times = {}
-    for steps in (64, 512):
+    for steps in (64, 512, 4096):
         out = run(*args, steps=steps)
         jax.block_until_ready(out)
         best = float("inf")
         for i in range(4):
-            args[1] = jnp.asarray(ox + np.float32(i) * 1e-5)  # fresh input
+            # fresh input per call (i+1: i=0 would replay the warmup input
+            # and hit the tunnel's execution cache)
+            args[1] = jnp.asarray(ox + np.float32(i + 1) * 1e-5)
             t0 = time.time()
             out = run(*args, steps=steps)
             jax.block_until_ready(out)
             best = min(best, time.time() - t0)
         times[steps] = best
-        print(f"steps={steps}: {best*1e3:.1f} ms total", flush=True)
+        print(f"steps={steps}: {best*1e3:.1f} ms total  "
+              f"(checksum {float(jnp.sum(out)):.4e})", flush=True)
     # Slope removes launch/dispatch overhead.
-    per_step = (times[512] - times[64]) / (512 - 64) / G
+    per_step = (times[4096] - times[512]) / (4096 - 512) / G
     print(f"per-lane step (7-field gather + slab + control, 1024 lanes): "
           f"{per_step*1e9:.0f} ns", flush=True)
     print(f"=> per ray-visit: {per_step*1e9/1024:.3f} ns "

@@ -47,3 +47,14 @@ def cornell_buffers(cornell_scene):
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Run the sharded-compile tests (heaviest XLA CPU programs) first:
+    late in a long suite process their compilation segfaults inside
+    XLA:CPU (observed at backend_compile_and_load with ~60 prior
+    compilations; passes reliably in a fresh or young process)."""
+    early = [it for it in items if "test_parallel" in it.nodeid
+             or "test_multichip" in it.nodeid]
+    rest = [it for it in items if it not in early]
+    items[:] = early + rest
