@@ -40,16 +40,27 @@ def test_renderer_matches_cpu_oracle(cornell_bufs):
     ours = np.mean(frames, axis=0)
 
     assert oracle.mean() > 0.01
-    # The oracle's full-weight NEE has a near-light 1/d^2 firefly tail on
-    # pixels just behind the light quad (the renderer's MIS damps exactly
-    # this), so compare in a bounded tone-mapped domain where heavy-tail
-    # variance can't dominate the metrics.
-    tm_ours = ours / (1.0 + ours)
-    tm_orac = oracle / (1.0 + oracle)
-    assert abs(tm_ours.mean() - tm_orac.mean()) < 0.05 * tm_orac.mean(), (
-        tm_ours.mean(), tm_orac.mean(), ours.mean(), oracle.mean())
-    p = psnr(tm_ours, tm_orac, peak=1.0)
-    assert p > 23.0, (p, ours.mean(), oracle.mean())
-    # Linear means still agree loosely (firefly tail inflates the oracle).
-    assert abs(ours.mean() - oracle.mean()) < 0.12 * oracle.mean(), (
+    # Unbiasedness: the linear means must converge (measured ~0.6% apart at
+    # these sample counts).
+    assert abs(ours.mean() - oracle.mean()) < 0.06 * oracle.mean(), (
         ours.mean(), oracle.mean())
+    # Per-pixel agreement with a trimmed metric: the oracle's full-weight
+    # NEE has a near-light 1/d^2 firefly tail on the pixels just behind the
+    # light quad (the renderer's MIS damps exactly this), so the top 2% of
+    # pixels by |diff| are excluded — standard robust MC comparison.
+    def trimmed_psnr(a, b):
+        diff = np.abs(a - b).reshape(-1)
+        keep = diff <= np.quantile(diff, 0.98)
+        mse = float(np.mean(diff[keep] ** 2))
+        peak = max(float(np.quantile(b, 0.98)), 1e-9)
+        return 10.0 * np.log10(peak * peak / max(mse, 1e-20))
+
+    # Full-res: bounded by MC variance at these sample counts (measured
+    # ~22 dB); 2x2-downsampled: iid noise averages out, structural
+    # disagreement would not.
+    assert trimmed_psnr(ours, oracle) > 20.0, (
+        trimmed_psnr(ours, oracle), ours.mean(), oracle.mean())
+    ds = ours.reshape(8, 2, 8, 2, 3).mean((1, 3))
+    dso = oracle.reshape(8, 2, 8, 2, 3).mean((1, 3))
+    assert trimmed_psnr(ds, dso) > 24.0, (
+        trimmed_psnr(ds, dso), ours.mean(), oracle.mean())
