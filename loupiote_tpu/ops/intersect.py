@@ -66,6 +66,7 @@ def intersect_rays(scene, ro, rd, tmax=None, active=None,
 
     if max_steps is None:
         max_steps = 4 * scene.num_nodes + 64
+    leaf_cap = int(getattr(scene, "leaf_cap", LEAF_MAX))
 
     class S(NamedTuple):
         node: jnp.ndarray
@@ -99,9 +100,10 @@ def intersect_rays(scene, ro, rd, tmax=None, active=None,
         is_leaf = count > 0
         do_leaf = box_hit & is_leaf
 
-        # Leaf: test up to LEAF_MAX triangles (Moller-Trumbore), masked.
+        # Leaf: test up to the scene's actual max leaf occupancy
+        # (Moller-Trumbore), masked.
         t_best, tri_best, u_best, v_best = s.t, s.tri, s.u, s.v
-        for k in range(LEAF_MAX):
+        for k in range(leaf_cap):
             tri_idx = first + k
             valid = do_leaf & (k < count)
             safe_idx = jnp.where(valid, tri_idx, 0)
@@ -187,6 +189,7 @@ def intersect_packets(scene, ro, rd, tmax=None, active=None,
 
     if max_steps is None:
         max_steps = 4 * scene.num_nodes + 64
+    leaf_cap = int(getattr(scene, "leaf_cap", LEAF_MAX))
 
     class S(NamedTuple):
         node: jnp.ndarray  # (K,)
@@ -225,7 +228,7 @@ def intersect_packets(scene, ro, rd, tmax=None, active=None,
 
         t_b, tri_b, u_b, v_b = s.t, s.tri, s.u, s.v
         blocked = s.blocked
-        for k in range(LEAF_MAX):
+        for k in range(leaf_cap):
             tri_idx = first + k
             valid = do_leaf & (k < count)  # (K,)
             trow = scene.tri_pack[jnp.where(valid, tri_idx, 0)]  # (K, 9)

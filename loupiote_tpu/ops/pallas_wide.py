@@ -154,10 +154,6 @@ def _wide_kernel(rows_ref,
                          else jnp.full((SUB, SUBP), -1, jnp.int32))
 
     def refs(c):
-
-        class _R:  # tiny indexable views over the chain's ref slices
-            pass
-
         return (t_out.at[0, c], u_out.at[0, c], v_out.at[0, c],
                 tri_out.at[0, c])
 
