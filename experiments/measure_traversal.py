@@ -334,6 +334,41 @@ if __name__ == "__main__":
         print("wide primary Mrays/s: %.1f" % (R / res["wide_primary_ms"] / 1e3))
         print("wide diffuse Mrays/s: %.1f" %
               (R / res["wide_diffuse_sorted_ms"] / 1e3), flush=True)
+    if mode == "--compaction":
+        # Wavefront compaction evidence (VERDICT r1 item 4): dead rays sort
+        # to the tail (DEAD_KEY) into all-dead tiles that retire on their
+        # first kernel step, so traced cost tracks the alive fraction.
+        import jax
+        import jax.numpy as jnp
+
+        from loupiote_tpu.ops.pallas_wide import intersect_wide
+        from loupiote_tpu.ops.sort import ray_sort_key, sort_order
+
+        R = len(dro)
+        lo, hi = bufs.node_min[0], bufs.node_max[0]
+        f = jax.jit(lambda a, b, act: intersect_wide(bufs, a, b, active=act))
+
+        def timed(o, d, a):
+            out = f(jnp.asarray(o), jnp.asarray(d), jnp.asarray(a))
+            jax.block_until_ready(out.t)
+            best = float("inf")
+            for i in range(3):
+                oo = o + np.float32(i + 1) * 1e-6  # fresh inputs
+                t0 = time.time()
+                out = f(jnp.asarray(oo), jnp.asarray(d), jnp.asarray(a))
+                jax.block_until_ready(out.t)
+                best = min(best, time.time() - t0)
+            return best * 1e3
+
+        rng = np.random.default_rng(5)
+        for frac in (1.0, 0.5, 0.25):
+            al = alive & (rng.random(R) < frac)
+            key = ray_sort_key(jnp.asarray(dro), jnp.asarray(drd),
+                               jnp.asarray(al), lo, hi)
+            order = np.asarray(sort_order(key))
+            ms = timed(dro[order], drd[order], al[order])
+            print(f"alive_frac={frac:.2f}: sorted diffuse {ms:.0f} ms",
+                  flush=True)
     if mode == "--bin-oracle":
         bin_oracle(bufs, dro, drd, alive)
     if mode in ("all", "--sim-only"):

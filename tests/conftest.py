@@ -58,3 +58,13 @@ def pytest_collection_modifyitems(config, items):
              or "test_multichip" in it.nodeid]
     rest = [it for it in items if it not in early]
     items[:] = early + rest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA:CPU segfaults inside backend_compile_and_load after ~50 compiled
+    programs accumulate in one process (observed repeatedly at different
+    tests, always the same stack). Dropping live executables between
+    modules keeps the program count low at the cost of some recompiles."""
+    yield
+    jax.clear_caches()
