@@ -50,20 +50,15 @@ def _surface_area(bmin, bmax):
     return d[0] * d[1] + d[1] * d[2] + d[2] * d[0]
 
 
-def collapse_wide(bvh: FlatBVH, tri9: np.ndarray,
-                  width: int = WIDTH) -> WideBVH:
-    """Collapse a threaded BVH2 into the unified wide row table.
-
-    ``tri9``: (T, 9) float32 [p0, e1, e2] per triangle in BVH leaf order
-    (the same data the BVH2 leaf rows hold).
-    """
+def _build_clusters(bvh: FlatBVH, width: int = WIDTH):
+    """Greedy largest-surface-area collapse of the BVH2 into clusters of up
+    to ``width`` frontier members. Returns (wide_children, wide_of,
+    leaf_nodes, leaf_row_of) — shared by collapse_wide and the per-lane
+    top-table builder (ops/lane_top.py), which must agree exactly."""
     count = bvh.count
     right = bvh.right
     is_leaf = count > 0
-    N = bvh.num_nodes
 
-    # Gather cluster members for each wide node rooted at a BVH2 internal
-    # node: greedily expand the largest-surface-area internal member.
     def cluster(n2: int) -> list[int]:
         members = [n2 + 1, int(right[n2])]
         while len(members) < width:
@@ -79,8 +74,6 @@ def collapse_wide(bvh: FlatBVH, tri9: np.ndarray,
             members.extend([m + 1, int(right[m])])
         return members
 
-    # DFS pre-order emission of wide nodes. wide_children[w] = list of
-    # (bvh2_node, is_leaf) in push order.
     wide_children: list[list[int]] = []
     wide_of: dict[int, int] = {}
     leaf_nodes: list[int] = []  # bvh2 leaf node per leaf row, in emit order
@@ -108,7 +101,29 @@ def collapse_wide(bvh: FlatBVH, tri9: np.ndarray,
                     if m not in leaf_row_of:
                         leaf_row_of[m] = len(leaf_nodes)
                         leaf_nodes.append(m)
+    return wide_children, wide_of, leaf_nodes, leaf_row_of
 
+
+def collapse_wide_maps(bvh: FlatBVH, width: int = WIDTH):
+    """(wide_of, leaf_row_of, W) for code that needs the BVH2-node ->
+    unified-row mapping without rebuilding the row table."""
+    wide_children, wide_of, leaf_nodes, leaf_row_of = _build_clusters(
+        bvh, width)
+    return wide_of, leaf_row_of, len(wide_children)
+
+
+def collapse_wide(bvh: FlatBVH, tri9: np.ndarray,
+                  width: int = WIDTH) -> WideBVH:
+    """Collapse a threaded BVH2 into the unified wide row table.
+
+    ``tri9``: (T, 9) float32 [p0, e1, e2] per triangle in BVH leaf order
+    (the same data the BVH2 leaf rows hold).
+    """
+    count = bvh.count
+    is_leaf = count > 0
+
+    wide_children, wide_of, leaf_nodes, leaf_row_of = _build_clusters(
+        bvh, width)
     W = len(wide_children)
     L = len(leaf_nodes)
     rows = np.zeros((W + L, 128), np.float32)
