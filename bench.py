@@ -203,18 +203,22 @@ def main():
     extra = {}
     here = os.path.abspath(__file__)
     for name in ("headline", "waves", "cornell"):
-        try:
-            out = subprocess.run(
-                [sys.executable, here, "--section", name],
-                capture_output=True, text=True, timeout=1500)
-            line = [ln for ln in out.stdout.splitlines()
-                    if ln.startswith("BENCH_JSON:")]
-            if not line:
-                raise RuntimeError(
-                    f"rc={out.returncode}: {out.stderr[-300:]}")
-            extra.update(json.loads(line[-1][len("BENCH_JSON:"):]))
-        except Exception as e:
-            extra[name + "_error"] = repr(e)[:300]
+        for attempt in range(3):  # the remote-compile tunnel flakes
+            try:
+                out = subprocess.run(
+                    [sys.executable, here, "--section", name],
+                    capture_output=True, text=True, timeout=2400)
+                line = [ln for ln in out.stdout.splitlines()
+                        if ln.startswith("BENCH_JSON:")]
+                if not line:
+                    raise RuntimeError(
+                        f"rc={out.returncode}: {out.stderr[-300:]}")
+                extra.update(json.loads(line[-1][len("BENCH_JSON:"):]))
+                extra.pop(name + "_error", None)
+                break
+            except Exception as e:
+                extra[name + "_error"] = repr(e)[:300]
+                time.sleep(10)
     value = extra.pop("mrays", 0.0)
 
     print(json.dumps({
