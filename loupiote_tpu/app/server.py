@@ -38,6 +38,17 @@ img  { display:block; margin:0 auto; image-rendering:pixelated; }
 </style></head><body>
 <img id="view" tabindex="0">
 <div id="hud">connecting...</div>
+<div id="bar" style="position:fixed;top:8px;right:8px;background:#000a;
+     padding:6px 10px;border-radius:4px">
+  <select id="mode">
+    <option value="denoised">denoised</option>
+    <option value="pathtrace">pathtrace</option>
+    <option value="temporal">temporal</option>
+    <option value="gbuffer">gbuffer</option>
+    <option value="motion">motion</option>
+  </select>
+  <button id="shot">&#128247;</button>
+</div>
 <script>
 const img = document.getElementById('view');
 const hud = document.getElementById('hud');
@@ -66,6 +77,10 @@ async function stats() {
   }
 }
 function send(o) { fetch('/input', {method:'POST', body:JSON.stringify(o)}); }
+document.getElementById('mode').addEventListener('change', e =>
+  send({type:'setting', name:'blit_mode', value:e.target.value}));
+document.getElementById('shot').addEventListener('click', () =>
+  send({type:'screenshot'}));
 const keys = {'w':1,'a':1,'s':1,'d':1,' ':1,'arrowup':'up','arrowdown':'down',
               'arrowleft':'left','arrowright':'right'};
 window.addEventListener('keydown', e => { const k = e.key.toLowerCase();
@@ -200,8 +215,24 @@ class ViewerServer:
                 self.driver.run_command(ev.get("command", ""))
             elif kind == "setting":
                 name, value = ev.get("name"), ev.get("value")
-                if hasattr(self.driver.settings, name or ""):
+                if name == "blit_mode":
+                    from ..config import BlitMode
+
+                    modes = {"pathtrace": BlitMode.PATHTRACE,
+                             "denoised": BlitMode.DENOISED_PATHTRACE,
+                             "temporal": BlitMode.TEMPORAL,
+                             "gbuffer": BlitMode.GBUFFER,
+                             "motion": BlitMode.MOTION_VECTOR}
+                    if value in modes:
+                        self.driver.settings.blit_mode = modes[value]
+                elif hasattr(self.driver.settings, name or ""):
                     setattr(self.driver.settings, name, value)
+            elif kind == "screenshot":
+                import time as _t
+
+                path = ev.get("path") or (
+                    f"/tmp/loupiote_shot_{int(_t.time())}.png")
+                self.driver.save_screenshot(path)
 
     # -- render loop -----------------------------------------------------------
     def _render_loop(self):

@@ -97,3 +97,24 @@ def test_stats_and_commands(server):
     stats = json.loads(_get(server, "/stats").read())
     assert "fps" in stats and "frame_ms" in stats
     assert stats["triangles"] >= 1
+
+
+def test_blit_mode_and_screenshot_over_http(server, tmp_path_factory):
+    d = server.driver
+    _post(server, "/input", {"type": "setting", "name": "blit_mode",
+                             "value": "gbuffer"})
+    deadline = time.time() + 20
+    from loupiote_tpu.config import BlitMode
+    while time.time() < deadline and d.settings.blit_mode != BlitMode.GBUFFER:
+        time.sleep(0.2)
+    assert d.settings.blit_mode == BlitMode.GBUFFER
+    _post(server, "/input", {"type": "setting", "name": "blit_mode",
+                             "value": "pathtrace"})
+
+    path = str(tmp_path_factory.mktemp("shots") / "shot.png")
+    _post(server, "/input", {"type": "screenshot", "path": path})
+    deadline = time.time() + 60
+    import os
+    while time.time() < deadline and not os.path.exists(path):
+        time.sleep(0.5)
+    assert os.path.exists(path)
