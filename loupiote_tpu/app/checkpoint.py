@@ -76,3 +76,61 @@ def checkpoint_info(path: str) -> Tuple[dict, int]:
         manifest = json.load(f)
     data = np.load(os.path.join(path, "state.npz"))
     return manifest, int(data["frame_count"])
+
+
+# -- Orbax backend (cloud-storage paths, async-capable) -----------------------
+
+def save_session_orbax(path: str, renderer: Renderer) -> None:
+    """Orbax-backed save: same manifest, state as an Orbax PyTree
+    checkpoint. Use for cloud storage paths (gs://...) where npz files
+    can't be written directly; local paths work too."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    state = renderer.state
+    tree = {f: getattr(state, f) for f in state.__dataclass_fields__}
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, "state_orbax"), tree, force=True)
+    manifest = {
+        "size": list(renderer.size),
+        "accumulate": renderer.accumulate,
+        "mode": renderer.mode.value,
+        "use_noise": renderer.use_noise,
+        "version": 1,
+        "backend": "orbax",
+    }
+    with open(os.path.join(path, _MANIFEST), "w") as f:
+        json.dump(manifest, f)
+
+
+def load_session_orbax(path: str, renderer: Renderer) -> None:
+    """Restore a save_session_orbax checkpoint (same validation rules as
+    the npz loader)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, _MANIFEST)) as f:
+        manifest = json.load(f)
+    if manifest.get("version") != 1:
+        raise ValueError(f"unsupported checkpoint version "
+                         f"{manifest.get('version')!r}")
+    size = tuple(manifest["size"])
+    if tuple(renderer.size) != size:
+        raise ValueError(
+            f"checkpoint size {size} != renderer size {renderer.size}")
+    with ocp.PyTreeCheckpointer() as ckptr:
+        tree = ckptr.restore(os.path.join(path, "state_orbax"))
+    known = set(RenderState.__dataclass_fields__)
+    unknown = sorted(set(tree) - known)
+    if unknown:
+        raise ValueError(
+            f"checkpoint has fields unknown to this RenderState layout: "
+            f"{unknown} (written by a newer build?)")
+    fields = {f: (jnp.asarray(tree[f]) if f in tree
+                  else getattr(renderer.state, f))
+              for f in known}
+    renderer.state = RenderState(**fields)
+    renderer.accumulate = bool(manifest["accumulate"])
+    renderer.mode = BlitMode(manifest["mode"])
+    renderer.use_noise = bool(manifest["use_noise"])

@@ -132,3 +132,23 @@ def test_queries_scope():
     q.resolve()
     q.end_frame()
     assert q.labels() == ["a", "b"]
+
+
+def test_checkpoint_roundtrip_orbax(tmp_path, driver):
+    from loupiote_tpu.app.checkpoint import (load_session_orbax,
+                                             save_session_orbax)
+
+    driver.settings.blit_mode = BlitMode.PATHTRACE
+    driver.settings.accumulate = True
+    driver.step(dt=0.016)
+    driver.step(dt=0.016)
+    path = str(tmp_path / "ckpt_orbax")
+    save_session_orbax(path, driver.renderer)
+    before = np.asarray(driver.renderer.state.accum).copy()
+    fc = int(driver.renderer.state.frame_count)
+
+    d2 = Driver(size=(64, 64), config=RenderConfig(downsample_factor=0.5))
+    load_session_orbax(path, d2.renderer)
+    np.testing.assert_array_equal(np.asarray(d2.renderer.state.accum), before)
+    assert int(d2.renderer.state.frame_count) == fc
+    driver.settings.accumulate = False
