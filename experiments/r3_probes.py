@@ -1,0 +1,165 @@
+"""Round-3 primitive probes (run each in its own subprocess: the tunneled
+backend wedges after a few large executables).
+
+Probes:
+  repeat    — pltpu.repeat (8,4)->(8,128) segment broadcast (crashed Mosaic
+              remote-compile in round 2; retry on current toolchain)
+  bdim      — broadcast_in_dim (8,4)->(8,4,32) + reshape (same round-2 crash)
+  seggather — take_along_axis with a CONSTANT segment index map
+              (8,128)->(8,128): the workaround lowering for lane groups
+  mxu       — jnp.dot (128,16)@(16,128) inside a while-loop kernel: is the
+              MXU usable per traversal step (Woop triangle offload)?
+  transpose — (8,128)->(128,8) in-kernel transpose cost (ray SoA -> matmul
+              operand layout)
+
+Each probe runs a fixed-step while loop so per-step cost is measurable.
+Fresh inputs per timed call (the tunnel caches identical executions).
+
+Usage: python experiments/r3_probes.py <probe> [steps]
+       python experiments/r3_probes.py all   # subprocess per probe
+"""
+
+import functools
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SUB, SUBP = 8, 128
+STEPS = 30000  # enough steps to amortize the ~25-40ms tunnel dispatch
+
+
+def _setup():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+def probe_body(name):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental.pallas import tpu as pltpu
+
+    if name == "repeat":
+        def step(x, i):
+            small = x[:, :4] + i.astype(jnp.float32)  # (8,4)
+            big = pltpu.repeat(small, 32, axis=1)  # (8,128)
+            return x + big * 1e-6
+    elif name == "bdim":
+        def step(x, i):
+            small = x[:, :4] + i.astype(jnp.float32)  # (8,4)
+            big = lax.broadcast_in_dim(small, (SUB, 4, 32),
+                                       (0, 1)).reshape(SUB, SUBP)
+            return x + big * 1e-6
+    elif name == "seggather":
+        def step(x, i):
+            # 28 gathers/step models a 4-wide x 4-group slab fetch
+            # (4 children x 7 fields).
+            seg_idx = (lax.broadcasted_iota(jnp.int32, (SUB, SUBP), 1) >> 5)
+            acc = x * 0.0
+            for k in range(28):
+                acc = acc + jnp.take_along_axis(x, (seg_idx + k) & 127,
+                                                axis=1)
+            return x + acc * 1e-7 + i.astype(jnp.float32) * 1e-9
+    elif name == "seggather1":
+        def step(x, i):
+            seg_idx = (lax.broadcasted_iota(jnp.int32, (SUB, SUBP), 1) >> 5)
+            return x + jnp.take_along_axis(x, seg_idx, axis=1) * 1e-7 \
+                + i.astype(jnp.float32) * 1e-9
+    elif name == "mxu":
+        def step(x, i):
+            # Models the Woop offload: rays (128,8) @ per-tri transform
+            # columns (8,128) -> (128,128) outputs, fold 8 rows back.
+            xt = x.T + i.astype(jnp.float32) * 1e-9  # (128,8)
+            big = jnp.dot(xt, x, preferred_element_type=jnp.float32)
+            return x + big[:SUB, :] * 1e-7
+    elif name == "transpose":
+        def step(x, i):
+            xt = x.T  # (128, 8)
+            return x + (xt.T) * 1e-7 + i.astype(jnp.float32) * 1e-9
+    else:
+        raise SystemExit(f"unknown probe {name}")
+    return step
+
+
+def run_probe(name, steps=STEPS):
+    jax = _setup()
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    step = probe_body(name)
+
+    def kernel(x_ref, o_ref):
+        def body(c):
+            x, i = c
+            return step(x, i), i + 1
+
+        def cond(c):
+            return c[1] < steps
+
+        out, _ = lax.while_loop(cond, body, (x_ref[0], jnp.int32(0)))
+        o_ref[0] = out
+
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            kernel,
+            grid=(1,),
+            in_specs=[pl.BlockSpec((1, SUB, SUBP),
+                                   lambda g: (g, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, SUB, SUBP), lambda g: (g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, SUB, SUBP), jnp.float32),
+        )(x)
+
+    x = jnp.asarray(np.random.default_rng(0).random(
+        (1, SUB, SUBP), np.float32))
+    t0 = time.time()
+    out = run(x)
+    jax.block_until_ready(out)
+    np.asarray(out)  # force materialization (tunnel defers first exec)
+    compile_s = time.time() - t0
+    best = float("inf")
+    for i in range(5):
+        xi = x + np.float32(i + 1)
+        t0 = time.time()
+        out = run(xi)
+        jax.block_until_ready(out)
+        np.asarray(out[0, 0, :4])
+        best = min(best, time.time() - t0)
+    print(f"PROBE {name}: compile {compile_s:.1f}s, "
+          f"{best * 1e9 / steps:.0f} ns/step ({steps} steps)", flush=True)
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] != "all":
+        run_probe(sys.argv[1],
+                  int(sys.argv[2]) if len(sys.argv) > 2 else STEPS)
+        return
+    here = os.path.abspath(__file__)
+    for name in ("repeat", "bdim", "seggather1", "seggather", "mxu",
+                 "transpose"):
+        r = subprocess.run([sys.executable, here, name],
+                           capture_output=True, text=True, timeout=900)
+        line = [ln for ln in r.stdout.splitlines() if "PROBE" in ln]
+        if line:
+            print(line[-1], flush=True)
+        else:
+            tail = (r.stderr or r.stdout)[-400:]
+            print(f"PROBE {name}: FAILED rc={r.returncode}: {tail}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -145,7 +145,9 @@ def main(argv=None):
                                       "window analog)")
     ps.add_argument("scene")
     ps.add_argument("--port", type=int, default=8722)
-    ps.add_argument("--host", default="0.0.0.0")
+    ps.add_argument("--host", default="127.0.0.1",
+                    help="bind address (default loopback; 0.0.0.0 exposes "
+                         "the unauthenticated viewer to the network)")
     _add_common(ps)
     ps.set_defaults(fn=cmd_serve)
 

@@ -72,13 +72,27 @@ def load_session(path: str, renderer: Renderer) -> None:
 
 
 def checkpoint_info(path: str) -> Tuple[dict, int]:
-    with open(os.path.join(path, _MANIFEST)) as f:
-        manifest = json.load(f)
+    """(manifest, frame_count) for either backend (npz or orbax)."""
+    manifest = json.loads(_epath(path, _MANIFEST).read_text())
+    if "frame_count" in manifest:
+        return manifest, int(manifest["frame_count"])
     data = np.load(os.path.join(path, "state.npz"))
     return manifest, int(data["frame_count"])
 
 
 # -- Orbax backend (cloud-storage paths, async-capable) -----------------------
+
+def _is_url(path: str) -> bool:
+    return "://" in path
+
+
+def _epath(path: str, *parts: str):
+    """URL-aware path join: etils.epath handles gs://... URIs that
+    os.path.abspath would mangle into a local './gs:/...' directory."""
+    from etils import epath
+
+    return epath.Path(path).joinpath(*parts)
+
 
 def save_session_orbax(path: str, renderer: Renderer) -> None:
     """Orbax-backed save: same manifest, state as an Orbax PyTree
@@ -86,22 +100,23 @@ def save_session_orbax(path: str, renderer: Renderer) -> None:
     can't be written directly; local paths work too."""
     import orbax.checkpoint as ocp
 
-    path = os.path.abspath(path)
-    os.makedirs(path, exist_ok=True)
+    if not _is_url(path):
+        path = os.path.abspath(path)
+        os.makedirs(path, exist_ok=True)
     state = renderer.state
     tree = {f: getattr(state, f) for f in state.__dataclass_fields__}
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(os.path.join(path, "state_orbax"), tree, force=True)
+        ckptr.save(str(_epath(path, "state_orbax")), tree, force=True)
     manifest = {
         "size": list(renderer.size),
         "accumulate": renderer.accumulate,
         "mode": renderer.mode.value,
         "use_noise": renderer.use_noise,
+        "frame_count": int(np.asarray(state.frame_count)),
         "version": 1,
         "backend": "orbax",
     }
-    with open(os.path.join(path, _MANIFEST), "w") as f:
-        json.dump(manifest, f)
+    _epath(path, _MANIFEST).write_text(json.dumps(manifest))
 
 
 def load_session_orbax(path: str, renderer: Renderer) -> None:
@@ -109,9 +124,9 @@ def load_session_orbax(path: str, renderer: Renderer) -> None:
     the npz loader)."""
     import orbax.checkpoint as ocp
 
-    path = os.path.abspath(path)
-    with open(os.path.join(path, _MANIFEST)) as f:
-        manifest = json.load(f)
+    if not _is_url(path):
+        path = os.path.abspath(path)
+    manifest = json.loads(_epath(path, _MANIFEST).read_text())
     if manifest.get("version") != 1:
         raise ValueError(f"unsupported checkpoint version "
                          f"{manifest.get('version')!r}")
@@ -120,7 +135,7 @@ def load_session_orbax(path: str, renderer: Renderer) -> None:
         raise ValueError(
             f"checkpoint size {size} != renderer size {renderer.size}")
     with ocp.PyTreeCheckpointer() as ckptr:
-        tree = ckptr.restore(os.path.join(path, "state_orbax"))
+        tree = ckptr.restore(str(_epath(path, "state_orbax")))
     known = set(RenderState.__dataclass_fields__)
     unknown = sorted(set(tree) - known)
     if unknown:

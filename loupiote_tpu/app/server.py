@@ -102,8 +102,9 @@ frames(); stats();
 class ViewerServer:
     """HTTP viewer around a Driver. All JAX work stays on the render thread."""
 
-    def __init__(self, driver, host: str = "0.0.0.0", port: int = 8722,
-                 jpeg_quality: int = 85, max_fps: float = 60.0):
+    def __init__(self, driver, host: str = "127.0.0.1", port: int = 8722,
+                 jpeg_quality: int = 85, max_fps: float = 60.0,
+                 screenshot_dir: str = "/tmp/loupiote_shots"):
         self.driver = driver
         self.input = InputManager()
         self._events: "queue.Queue[dict]" = queue.Queue()
@@ -114,6 +115,7 @@ class ViewerServer:
         self._min_dt = 1.0 / max_fps
         self._jpeg_quality = jpeg_quality
         self._stats: dict = {}
+        self._screenshot_dir = screenshot_dir
 
         server = self
 
@@ -225,13 +227,23 @@ class ViewerServer:
                              "motion": BlitMode.MOTION_VECTOR}
                     if value in modes:
                         self.driver.settings.blit_mode = modes[value]
-                elif hasattr(self.driver.settings, name or ""):
-                    setattr(self.driver.settings, name, value)
+                # Only whitelisted settings with validated types: /input is
+                # network-facing, so arbitrary setattr from client JSON is
+                # off the table.
+                elif name == "accumulate":
+                    self.driver.settings.accumulate = bool(value)
+                elif name == "use_blue_noise":
+                    self.driver.settings.use_blue_noise = bool(value)
             elif kind == "screenshot":
+                # The path is server-controlled: a client-supplied path
+                # would let any network peer write arbitrary files.
+                import os
                 import time as _t
 
-                path = ev.get("path") or (
-                    f"/tmp/loupiote_shot_{int(_t.time())}.png")
+                os.makedirs(self._screenshot_dir, exist_ok=True)
+                path = os.path.join(
+                    self._screenshot_dir,
+                    f"shot_{int(_t.time() * 1000)}.png")
                 self.driver.save_screenshot(path)
 
     # -- render loop -----------------------------------------------------------

@@ -305,11 +305,34 @@ def _pallas_enabled() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+# Per-scene kernel choice thresholds (tunable via env for experiments).
+_WIDE_MIN_NODES = 8192  # below this the BVH2 sub-packet kernel wins
+_WIDE_MAX_BYTES = 96 * 1024 * 1024  # trav_rows maps whole into VMEM
+
+
 def _wide_enabled(scene) -> bool:
     import os
 
-    return (os.environ.get("LOUPIOTE_NO_WIDE") != "1"
-            and getattr(scene, "trav_rows", None) is not None)
+    if os.environ.get("LOUPIOTE_NO_WIDE") == "1":
+        return False
+    rows = getattr(scene, "trav_rows", None)
+    if rows is None:
+        return False
+    if os.environ.get("LOUPIOTE_FORCE_WIDE") == "1":
+        return True
+    # Small scenes: the 8-wide kernel's per-step cost is wasted on tiny
+    # trees (VERDICT r2: Cornell interactive regression) — the BVH2
+    # sub-packet kernel is faster there.
+    min_nodes = int(os.environ.get("LOUPIOTE_WIDE_MIN_NODES",
+                                   _WIDE_MIN_NODES))
+    if int(scene.num_nodes) < min_nodes:
+        return False
+    # VMEM ceiling: the unified row table is mapped whole into VMEM with a
+    # 110MB limit; oversized scenes fall back to the BVH2 kernel, which
+    # streams nodes from HBM.
+    if int(rows.size) * 4 > _WIDE_MAX_BYTES:
+        return False
+    return True
 
 
 def intersect_any(scene, ro, rd, tmax=None, active=None,

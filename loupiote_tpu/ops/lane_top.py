@@ -237,7 +237,10 @@ def _lane_top_kernel(tab_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
         descend = hit & (hit_id != ID_MASK)
         nxt = jnp.where(descend, hit_id, miss_id)
         nxt = jnp.where(live, nxt, END)
-        # Overflowing lanes stop where they are (resumable via cur).
+        # Overflow: a lane that hits a frontier box with all PEND_CAP slots
+        # full parks at END with its walk INCOMPLETE — pendings past the cap
+        # are dropped. Consumers must treat npend == PEND_CAP as "incomplete
+        # lane" and re-trace it with the full kernel (see lane_top_trace).
         nxt = jnp.where(hit & (pend >= 0) & (np_ >= PEND_CAP), END, nxt)
         return (nxt, np2, steps + 1)
 
@@ -281,7 +284,12 @@ def lane_top_trace(tables: TopTables, ro, rd, tmax=None, active=None,
                    interpret: bool = False):
     """Phase-1 per-lane walk. Returns (pend (R, PEND_CAP) int32 row ids,
     npend (R,) int32). Pending entries carry accel.wide.LEAF_TAG for leaf
-    rows, matching the unified-table convention."""
+    rows, matching the unified-table convention.
+
+    A lane with npend == PEND_CAP may be INCOMPLETE (its walk parked when
+    the cap was reached and further pendings were dropped); phase-2
+    consumers must fall back to the full traversal kernel for such lanes.
+    """
     R = ro.shape[0]
     assert R % TILE == 0
     G = R // TILE

@@ -194,6 +194,17 @@ def render_frame(scene: SceneBuffers, state: RenderState,
     return state.replace(**new)
 
 
+@functools.partial(jax.jit, static_argnames=("out_hw", "tonemap"))
+def _blit_rgb(img: jnp.ndarray, out_hw, tonemap: str) -> jnp.ndarray:
+    """Radiance -> display uint8, bilinearly upscaled to ``out_hw`` when set
+    (the reference blit shader samples the half-res HDR target with a
+    linear sampler BEFORE tonemapping, renderer.rs:551-607)."""
+    if out_hw is not None:
+        img = jax.image.resize(img, (out_hw[0], out_hw[1], img.shape[2]),
+                               method="bilinear")
+    return to_display(img, tonemap)
+
+
 # Stage-granular jits for Renderer.measure_passes (module-level so repeated
 # measurements reuse the compile cache).
 @functools.partial(jax.jit, static_argnames=("width", "height", "vfov"))
@@ -244,11 +255,16 @@ class Renderer:
         self.noise_texture: Optional[np.ndarray] = None
         self.scene: Optional[SceneBuffers] = None
         self.queries = None  # timing hook, installed by app layer
+        self.last_reload_error: Optional[str] = None
         self._set_size(size)
 
     # -- sizing ------------------------------------------------------------
     def _set_size(self, size: tuple) -> None:
         w, h = clamp_size(size[0], size[1], self.config)
+        # The DISPLAY surface keeps the window resolution; the path tracer
+        # renders at downsample_factor and blit() upscales back
+        # (renderer.rs:225,551-607: render at 0.5x, blit to full surface).
+        self.window_size = (max(w, 1), max(h, 1))
         w, h = downsampled_size(w, h, self.downsample_factor)
         if self.mesh is not None:
             # Row slabs must divide across the 'tiles' axis.
@@ -339,29 +355,55 @@ class Renderer:
         )
 
     # -- display -----------------------------------------------------------
-    def blit(self) -> np.ndarray:
-        """(H, W, 3) uint8 display image for the current mode
-        (renderer.rs:551-607)."""
+    def blit(self, display_size: bool = True) -> np.ndarray:
+        """(H, W, 3) uint8 display image for the current mode at the WINDOW
+        resolution (renderer.rs:551-607: the blit pass samples the 0.5x
+        internal target with a linear sampler onto the full-size surface).
+        ``display_size=False`` returns the internal-resolution image."""
         s = self.state
         if self.mode == BlitMode.PATHTRACE:
-            return np.asarray(to_display(s.accum, self.config.tonemap))
-        if self.mode == BlitMode.DENOISED_PATHTRACE:
-            return np.asarray(to_display(s.denoised, self.config.tonemap))
-        if self.mode == BlitMode.TEMPORAL:
-            return np.asarray(to_display(s.temporal_rgb, self.config.tonemap))
-        if self.mode == BlitMode.GBUFFER:
+            img = _blit_rgb(s.accum, self._display_hw(display_size),
+                            self.config.tonemap)
+        elif self.mode == BlitMode.DENOISED_PATHTRACE:
+            img = _blit_rgb(s.denoised, self._display_hw(display_size),
+                            self.config.tonemap)
+        elif self.mode == BlitMode.TEMPORAL:
+            img = _blit_rgb(s.temporal_rgb, self._display_hw(display_size),
+                            self.config.tonemap)
+        elif self.mode == BlitMode.GBUFFER:
             vis = np.asarray(s.gb_normal) * 0.5 + 0.5
             vis[np.asarray(s.gb_mesh) < 0] = 0.0
-            return (vis * 255).astype(np.uint8)
-        if self.mode == BlitMode.MOTION_VECTOR:
+            img = self._upscale_debug(vis, display_size)
+        elif self.mode == BlitMode.MOTION_VECTOR:
             mv = np.asarray(s.motion)
             vis = np.zeros(mv.shape[:2] + (3,), np.float32)
             vis[..., :2] = np.clip(np.abs(mv) * 20.0, 0, 1)
-            return (vis * 255).astype(np.uint8)
-        raise ValueError(f"unknown blit mode {self.mode}")
+            img = self._upscale_debug(vis, display_size)
+        else:
+            raise ValueError(f"unknown blit mode {self.mode}")
+        return np.asarray(img)
+
+    def _display_hw(self, display_size: bool):
+        if not display_size:
+            return None
+        hw = (self.window_size[1], self.window_size[0])
+        return None if hw == (self.size[1], self.size[0]) else hw
+
+    def _upscale_debug(self, vis: np.ndarray, display_size: bool):
+        hw = self._display_hw(display_size)
+        if hw is not None:
+            # Debug views upscale nearest: they visualize raw buffer texels
+            # (BlitTexturePass analog), not filtered radiance.
+            yy = np.minimum((np.arange(hw[0]) * vis.shape[0]) // hw[0],
+                            vis.shape[0] - 1)
+            xx = np.minimum((np.arange(hw[1]) * vis.shape[1]) // hw[1],
+                            vis.shape[1] - 1)
+            vis = vis[yy[:, None], xx[None, :]]
+        return (vis * 255).astype(np.uint8)
 
     def read_pixels(self) -> bytes:
-        """RGBA8 bytes of the displayed image (renderer.rs:727-811)."""
+        """RGBA8 bytes of the displayed image at window resolution
+        (renderer.rs:727-811: readback blits to a window-size Rgba8 target)."""
         rgb = self.blit()
         rgba = np.concatenate(
             [rgb, np.full(rgb.shape[:2] + (1,), 255, np.uint8)], axis=2)
@@ -437,7 +479,58 @@ class Renderer:
                 q.record(label, ms)
         return out
 
+    # Kernel modules re-read on reload ("shader sources" analog).
+    _RELOADABLE = (
+        "loupiote_tpu.ops.raygen", "loupiote_tpu.ops.intersect",
+        "loupiote_tpu.ops.pallas_intersect", "loupiote_tpu.ops.pallas_wide",
+        "loupiote_tpu.ops.lane_top", "loupiote_tpu.ops.shade",
+        "loupiote_tpu.ops.sampling", "loupiote_tpu.ops.env",
+        "loupiote_tpu.ops.texture", "loupiote_tpu.ops.sort",
+        "loupiote_tpu.ops.tonemap", "loupiote_tpu.ops.lightmap",
+        "loupiote_tpu.denoise.asvgf",
+    )
+
     def reload_shaders(self) -> None:
-        """Hot-reload analog: drop compiled-function caches
-        (renderer.rs:360-390)."""
+        """Hot-reload: re-import the kernel modules (the 'shader sources')
+        and drop compiled caches so the next frame traces the new code.
+
+        Keep-old-on-error (renderer.rs:360-390, asvgf.rs:294-305): the
+        reloaded kernels are validated by abstract-evaluating one frame; on
+        any import/trace error the previous module state is restored, the
+        error is kept in ``last_reload_error``, and the session keeps
+        rendering with the old pipeline. (Validation covers trace-time
+        errors — the analog of WGSL compile errors; a kernel that only
+        fails on device at run time is caught by the app layer's per-frame
+        error handling instead.)"""
+        import importlib
+        import sys
+
+        snapshots = {}
+        try:
+            for name in self._RELOADABLE:
+                mod = sys.modules.get(name)
+                if mod is not None:
+                    snapshots[name] = dict(mod.__dict__)
+                    importlib.reload(mod)
+            if self.scene is not None:
+                cam = Camera(np.eye(4, dtype=np.float32), self.size,
+                             np.deg2rad(self.config.vfov_deg))
+                jax.eval_shape(
+                    functools.partial(
+                        render_frame, width=self.size[0],
+                        height=self.size[1], bounces=1,
+                        nee=self.config.nee,
+                        vfov=float(np.deg2rad(self.config.vfov_deg)),
+                        mode="pathtrace"),
+                    self.scene, self.state, jnp.asarray(cam.transform),
+                    jnp.eye(4, dtype=jnp.float32), jnp.bool_(True))
+        except Exception as e:  # keep the old pipeline
+            for name, d in snapshots.items():
+                mod = sys.modules.get(name)
+                if mod is not None:
+                    mod.__dict__.clear()
+                    mod.__dict__.update(d)
+            self.last_reload_error = f"{type(e).__name__}: {e}"
+            return
+        self.last_reload_error = None
         render_frame.clear_cache()

@@ -132,7 +132,12 @@ def test_renderer_accumulation_semantics(cornell_bufs):
     # toggle is app-owned (renderer.rs:609-618 does not touch it).
     assert r.accumulate is True
 
-    assert img1.shape == (32, 32, 3) and img1.dtype == np.uint8
+    # Display parity (renderer.rs:225,551-607): internal render at 0.5x,
+    # blit upscales to the window resolution.
+    assert img1.shape == (64, 64, 3) and img1.dtype == np.uint8
+    assert r.blit(display_size=False).shape == (32, 32, 3)
+    rgba = np.frombuffer(r.read_pixels(), np.uint8)
+    assert rgba.size == 64 * 64 * 4
 
 
 def test_renderer_no_scene_noop():

@@ -18,7 +18,7 @@ from loupiote_tpu.config import BlitMode, RenderConfig
 
 
 @pytest.fixture(scope="module")
-def server(cornell_scene):
+def server(cornell_scene, tmp_path_factory):
     from loupiote_tpu.scene import build_scene_buffers
 
     d = Driver(size=(64, 64), config=RenderConfig(downsample_factor=1.0))
@@ -26,7 +26,9 @@ def server(cornell_scene):
     d.upload_scene()
     d.settings.blit_mode = BlitMode.PATHTRACE
     d.settings.accumulate = True
-    srv = ViewerServer(d, host="127.0.0.1", port=0, max_fps=30).start()
+    shots = str(tmp_path_factory.mktemp("shots"))
+    srv = ViewerServer(d, host="127.0.0.1", port=0, max_fps=30,
+                       screenshot_dir=shots).start()
     yield srv
     srv.stop()
 
@@ -111,10 +113,15 @@ def test_blit_mode_and_screenshot_over_http(server, tmp_path_factory):
     _post(server, "/input", {"type": "setting", "name": "blit_mode",
                              "value": "pathtrace"})
 
-    path = str(tmp_path_factory.mktemp("shots") / "shot.png")
-    _post(server, "/input", {"type": "screenshot", "path": path})
-    deadline = time.time() + 60
+    # Client-supplied paths are IGNORED (a network peer must not choose
+    # filesystem paths); the shot lands in the server-side screenshot_dir.
     import os
-    while time.time() < deadline and not os.path.exists(path):
+
+    _post(server, "/input", {"type": "screenshot",
+                             "path": "/tmp/evil_client_path.png"})
+    deadline = time.time() + 60
+    shot_dir = server._screenshot_dir
+    while time.time() < deadline and not os.listdir(shot_dir):
         time.sleep(0.5)
-    assert os.path.exists(path)
+    assert os.listdir(shot_dir)
+    assert not os.path.exists("/tmp/evil_client_path.png")
