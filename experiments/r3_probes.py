@@ -138,14 +138,60 @@ def run_probe(name, steps=STEPS):
         jax.block_until_ready(out)
         np.asarray(out[0, 0, :4])
         best = min(best, time.time() - t0)
-    print(f"PROBE {name}: compile {compile_s:.1f}s, "
-          f"{best * 1e9 / steps:.0f} ns/step ({steps} steps)", flush=True)
+    return compile_s, best
+
+
+def run_probe_slope(name):
+    """Per-step cost as the SLOPE between two step counts — a single run is
+    dominated by the ~25-40ms tunnel dispatch overhead."""
+    s1, s2 = 30000, 230000
+    c1, t1 = run_probe(name, s1)
+    _, t2 = run_probe(name, s2)
+    slope = (t2 - t1) / (s2 - s1)
+    print(f"PROBE {name}: compile {c1:.1f}s, {slope * 1e9:.1f} ns/step "
+          f"(slope {s1}->{s2}; raw {t1*1e3:.0f}/{t2*1e3:.0f} ms)",
+          flush=True)
+
+
+def run_sort_probe():
+    """XLA-side glue costs for the binned pipelines: argsort at wave scale,
+    take-gather, and segment_sum histogram."""
+    jax = _setup()
+    import jax.numpy as jnp
+
+    for n in (2_000_000, 4_000_000, 8_000_000):
+        keys = np.random.default_rng(0).integers(
+            0, 4096, n, dtype=np.int32)
+        f = jax.jit(lambda k: jnp.argsort(k))
+        g = jax.jit(lambda k, o: (k[o], jax.ops.segment_sum(
+            jnp.ones_like(k), k, num_segments=4096)))
+        kj = jnp.asarray(keys)
+        o = f(kj)
+        jax.block_until_ready(o)
+        np.asarray(o[:4])
+        best_s = best_g = float("inf")
+        for i in range(4):
+            kj2 = jnp.asarray(keys ^ (i + 1))
+            t0 = time.time()
+            o = f(kj2)
+            jax.block_until_ready(o)
+            np.asarray(o[:4])
+            best_s = min(best_s, time.time() - t0)
+            t0 = time.time()
+            r = g(kj2, o)
+            jax.block_until_ready(r)
+            np.asarray(r[0][:4])
+            best_g = min(best_g, time.time() - t0)
+        print(f"PROBE sort n={n}: argsort {best_s*1e3:.0f} ms, "
+              f"gather+hist {best_g*1e3:.0f} ms", flush=True)
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "sort":
+        run_sort_probe()
+        return
     if len(sys.argv) > 1 and sys.argv[1] != "all":
-        run_probe(sys.argv[1],
-                  int(sys.argv[2]) if len(sys.argv) > 2 else STEPS)
+        run_probe_slope(sys.argv[1])
         return
     here = os.path.abspath(__file__)
     for name in ("repeat", "bdim", "seggather1", "seggather", "mxu",
