@@ -80,8 +80,27 @@ def section_headline():
     rays = pixels * BOUNCES * 2  # path segments + NEE shadow rays
     extra["frame_ms"] = round(best * 1000, 1)
     extra["mrays"] = round(rays / best / 1e6, 2)
+    # Accounting convention, stated so the headline can't be misread
+    # (VERDICT r2): the frame traces bounces closest-hit waves AND bounces
+    # NEE shadow waves per pixel; mrays counts both, mrays_path_segments
+    # counts only closest-hit segments.
+    extra["rays_definition"] = "pixels*bounces*2 (segments + NEE shadow)"
+    extra["mrays_path_segments"] = round(pixels * BOUNCES / best / 1e6, 2)
     extra["nonzero_pixel_frac"] = round(
         float((np.asarray(out).reshape(-1, 3).sum(1) > 0).mean()), 3)
+
+    # Warm-compile probe: drop in-memory executables and re-jit the same
+    # program — the persistent cache (set in _jax_setup) should make this
+    # seconds, not minutes (VERDICT r2 item 3).
+    try:
+        jax.clear_caches()
+        frame_jit2 = jax.jit(lambda b, k: trace_paths(b, cam, WIDTH, HEIGHT,
+                                                      k, bounces=BOUNCES)[0])
+        t0 = time.time()
+        jax.block_until_ready(frame_jit2(bufs, jr.PRNGKey(99)))
+        extra["compile_warm_s"] = round(time.time() - t0, 1)
+    except Exception as e:  # the tunnel wedges on executable re-loads
+        extra["compile_warm_error"] = repr(e)[:120]
     return extra
 
 

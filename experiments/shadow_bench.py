@@ -1,0 +1,71 @@
+"""A/B the specialized shadow kernel vs the generic any-hit wide kernel on
+the arch-260k shadow wave (VERDICT r2 item 4: >=25% target).
+
+Run: python experiments/shadow_bench.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from measure_traversal import build, make_waves
+
+    from loupiote_tpu.ops.pallas_wide import intersect_wide, occluded_wide
+    from loupiote_tpu.ops.sort import ray_sort_key, sort_order
+
+    bufs, cam = build()
+    ro, rd, dro, drd, alive = make_waves(bufs, cam)
+    key = ray_sort_key(jnp.asarray(dro), jnp.asarray(drd), jnp.asarray(alive),
+                       bufs.node_min[0], bufs.node_max[0])
+    order = np.asarray(sort_order(key))
+    dro, drd, alive = dro[order], drd[order], alive[order]
+    R = len(dro)
+    dist = np.full(R, 30.0, np.float32)
+
+    new = jax.jit(lambda b, a, d, t, al: occluded_wide(b, a, d, t, active=al))
+    old = jax.jit(lambda b, a, d, t, al: intersect_wide(
+        b, a, d, tmax=t * (1 - 1e-3), active=al, any_hit=True).tri > 0)
+
+    results = {}
+    for name, fn in (("new_shadow", new), ("old_anyhit", old)):
+        best = float("inf")
+        out0 = None
+        for i in range(5):
+            a = jnp.asarray(dro + np.float32(i) * 1e-6)
+            d = jnp.asarray(drd)
+            t = jnp.asarray(dist)
+            al = jnp.asarray(alive)
+            t0 = time.time()
+            out = jax.block_until_ready(fn(bufs, a, d, t, al))
+            np.asarray(out[:8])
+            if i == 0:
+                out0 = np.asarray(out)
+                print(f"{name}: compile+first {time.time()-t0:.1f}s",
+                      flush=True)
+            else:
+                best = min(best, time.time() - t0)
+        results[name] = (best, out0)
+        print(f"{name}: {best*1e3:.1f} ms, blocked_frac "
+              f"{out0[np.asarray(alive)].mean():.4f}", flush=True)
+
+    agree = (results["new_shadow"][1] == results["old_anyhit"][1])
+    print(f"agreement: {agree.mean()*100:.3f}%  "
+          f"speedup {results['old_anyhit'][0]/results['new_shadow'][0]:.2f}x",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,7 +44,19 @@ def _setup(args):
                        bounces_static=args.bounces,
                        bounces_moving=args.bounces)
     d = Driver(size=(w, h), config=cfg)
-    d.load_gltf_path(args.scene)
+    # Session preset: every positional scene merges into ONE session, each
+    # optionally translated — the reference startup loads DamagedHelmet
+    # (moved +2y) AND sponza into one scene (standalone/lib.rs:109-126).
+    for entry in ([args.scene] if isinstance(args.scene, str)
+                  else args.scene):
+        path, _, offs = entry.partition("@")
+        before = len(d.scene.instances)
+        d.load_gltf_path(path)
+        if offs:
+            t = np.array([float(v) for v in offs.split(",")], np.float32)
+            for inst in d.scene.instances[before:]:
+                inst.model_to_world = inst.model_to_world.copy()
+                inst.model_to_world[:3, 3] += t
     if args.env:
         d.load_env_path(args.env)
     if args.blue_noise:
@@ -122,15 +134,18 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="loupiote_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
+    scene_help = ("glTF scene path(s); several merge into one session, "
+                  "each optionally translated as path@dx,dy,dz "
+                  "(reference default session, standalone/lib.rs:109-126)")
     pr = sub.add_parser("render", help="render a scene to PNG")
-    pr.add_argument("scene")
+    pr.add_argument("scene", nargs="+", help=scene_help)
     pr.add_argument("out")
     pr.add_argument("--spp", type=int, default=16)
     _add_common(pr)
     pr.set_defaults(fn=cmd_render)
 
     pf = sub.add_parser("flythrough", help="camera fly-through frame dump")
-    pf.add_argument("scene")
+    pf.add_argument("scene", nargs="+", help=scene_help)
     pf.add_argument("outdir")
     pf.add_argument("--frames", type=int, default=60)
     pf.add_argument("--distance", type=float, default=5.0)
@@ -143,7 +158,7 @@ def main(argv=None):
 
     ps = sub.add_parser("serve", help="live browser viewer (interactive "
                                       "window analog)")
-    ps.add_argument("scene")
+    ps.add_argument("scene", nargs="+", help=scene_help)
     ps.add_argument("--port", type=int, default=8722)
     ps.add_argument("--host", default="127.0.0.1",
                     help="bind address (default loopback; 0.0.0.0 exposes "

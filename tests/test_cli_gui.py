@@ -38,6 +38,36 @@ def test_cli_render(tmp_path, capsys):
     assert img[..., :3].mean() > 1  # not black
 
 
+def test_cli_multi_scene_session(tmp_path, capsys):
+    """Several positional scenes merge into one session, each optionally
+    translated (default-session analog, standalone/lib.rs:109-126)."""
+    from loupiote_tpu.__main__ import _setup, main
+
+    class A:
+        scene = [CORNELL, CORNELL + "@0,8,0"]
+        env = None
+        size = "32x32"
+        scale = 1.0
+        bounces = 1
+        mode = "pathtrace"
+        camera = "0,0.6,12,0,0,-1"
+        blue_noise = False
+        seed = 0
+        fit_light = None
+
+    d = _setup(A())
+    from loupiote_tpu.scene import Scene, load_gltf_path
+
+    one = Scene.default()
+    load_gltf_path(CORNELL, one)
+    n1 = len(one.instances)
+    assert len(d.scene.instances) == 2 * n1
+    # The second copy is translated +8y.
+    lo = min(i.model_to_world[1, 3] for i in d.scene.instances[n1:])
+    lo1 = min(i.model_to_world[1, 3] for i in d.scene.instances[:n1])
+    assert lo == pytest.approx(lo1 + 8.0)
+
+
 @pytest.fixture(scope="module")
 def driver():
     from loupiote_tpu.app import Driver
