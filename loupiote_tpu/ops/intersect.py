@@ -310,6 +310,15 @@ _WIDE_MIN_NODES = 8192  # below this the BVH2 sub-packet kernel wins
 _WIDE_MAX_BYTES = 96 * 1024 * 1024  # trav_rows maps whole into VMEM
 
 
+def _treelet_enabled(scene) -> bool:
+    """Two-phase per-lane pipeline (ops/treelet_pipeline.py). Opt-in via
+    LOUPIOTE_TREELET=1 while the A/B evidence accumulates."""
+    import os
+
+    return (os.environ.get("LOUPIOTE_TREELET") == "1"
+            and getattr(scene, "treelet", None) is not None)
+
+
 def _wide_enabled(scene) -> bool:
     import os
 
@@ -357,6 +366,11 @@ def intersect_any(scene, ro, rd, tmax=None, active=None,
                             any_hit=any_hit)
         return Hit(hit.t[:R], hit.tri[:R], hit.u[:R], hit.v[:R])
     if R % PACKET_SIZE == 0 and _pallas_enabled():
+        if _treelet_enabled(scene):
+            from .treelet_pipeline import treelet_intersect
+
+            return treelet_intersect(scene, ro, rd, tmax=tmax,
+                                     active=active, any_hit=any_hit)
         if _wide_enabled(scene):
             from .pallas_wide import intersect_wide
 

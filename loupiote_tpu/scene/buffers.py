@@ -112,6 +112,11 @@ class SceneBuffers:
     # tri_pack: [p0.xyz, e1.xyz, e2.xyz]
     tri_pack: jnp.ndarray = None  # (T, 9) float32
 
+    # Treelet pipeline tables (ops/treelet_pipeline.py): phase-1 top walk +
+    # phase-2 per-lane subtree tables. Built for big scenes (same threshold
+    # as the wide kernel); None disables the pipeline.
+    treelet: object = None
+
     # Static metadata (not traced).
     num_tris: int = struct.field(pytree_node=False, default=0)
     num_nodes: int = struct.field(pytree_node=False, default=0)
@@ -126,7 +131,8 @@ class SceneBuffers:
 
 def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
                         atlas_size: int = 2048,
-                        leaf_max: Optional[int] = None) -> SceneBuffers:
+                        leaf_max: Optional[int] = None,
+                        treelets: Optional[bool] = None) -> SceneBuffers:
     """Flatten + BVH-build + upload (SceneGPU::new_from_scene analog)."""
     p0s, p1s, p2s = [], [], []
     n0s, n1s, n2s = [], [], []
@@ -345,6 +351,23 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
     while wide_stack < wide.stack_need:
         wide_stack *= 2
 
+    # Treelet tables (two-phase per-lane pipeline). Default: build for
+    # scenes big enough that the per-lane pipeline can win (same scale the
+    # dynamic inter-bounce sort targets).
+    import os as _os
+
+    if treelets is None:
+        env = _os.environ.get("LOUPIOTE_TREELETS")
+        if env is not None:
+            treelets = env == "1"
+        else:
+            treelets = N >= 8192
+    treelet_dev = None
+    if treelets:
+        from ..ops.treelet_pipeline import build_treelet_device
+
+        treelet_dev = build_treelet_device(bvh, tri9)
+
     if probe is not None:
         pr = probe.radiance
         pc = probe.cdf_cond
@@ -398,6 +421,7 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
         trav_rows=jnp.asarray(trav),
         wide_end=int(wide.end_index),
         wide_stack=int(wide_stack),
+        treelet=treelet_dev,
         num_leaves=L,
         leaf_cap=int(bvh.count.max()) if bvh.count.size else 1,
         tri_shade=jnp.asarray(tri_shade),
