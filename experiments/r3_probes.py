@@ -186,9 +186,50 @@ def run_sort_probe():
               f"gather+hist {best_g*1e3:.0f} ms", flush=True)
 
 
+def run_chunked_sort_probe():
+    """Global lax.sort vs chunked row sorts (cost ~ log^2(row length)) at
+    pipeline-glue scale."""
+    jax = _setup()
+    import jax.numpy as jnp
+    from jax import lax
+
+    n = 8_388_608
+    keys = np.random.default_rng(0).integers(0, 512, n).astype(np.int32)
+    vals = np.arange(n, dtype=np.int32)
+
+    def glob(k, v):
+        return lax.sort((k, v), num_keys=1)
+
+    def chunked(k, v, C):
+        k2 = k.reshape(-1, C)
+        v2 = v.reshape(-1, C)
+        ks, vs = lax.sort((k2, v2), num_keys=1, dimension=1)
+        return ks, vs
+
+    for name, fn in (("global", jax.jit(glob)),
+                     ("chunk4096", jax.jit(lambda k, v: chunked(k, v, 4096))),
+                     ("chunk16384",
+                      jax.jit(lambda k, v: chunked(k, v, 16384)))):
+        best = float("inf")
+        for i in range(4):
+            kj = jnp.asarray(keys ^ (i + 1))
+            vj = jnp.asarray(vals)
+            t0 = time.time()
+            o = fn(kj, vj)
+            jax.block_until_ready(o)
+            np.asarray(o[0].reshape(-1)[:4])
+            if i:
+                best = min(best, time.time() - t0)
+        print(f"PROBE chunked_sort {name} n={n}: {best*1e3:.0f} ms",
+              flush=True)
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "sort":
         run_sort_probe()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "chunked_sort":
+        run_chunked_sort_probe()
         return
     if len(sys.argv) > 1 and sys.argv[1] != "all":
         run_probe_slope(sys.argv[1])

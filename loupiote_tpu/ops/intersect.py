@@ -33,6 +33,9 @@ class Hit(NamedTuple):
     tri: jnp.ndarray  # (R,) int32, -1 when miss
     u: jnp.ndarray  # (R,) float32 barycentric
     v: jnp.ndarray  # (R,) float32 barycentric
+    # Instance id for two-level (BLAS/TLAS) scenes; None on the flattened
+    # path (tri_shade then carries the per-triangle instance).
+    inst: jnp.ndarray | None = None
 
 
 def _bitcast_i32(x):
@@ -140,6 +143,29 @@ def intersect_rays(scene, ro, rd, tmax=None, active=None,
              zero_r, zero_r, jnp.int32(0))
     out = lax.while_loop(cond, body, init)
     return Hit(out.t, out.tri, out.u, out.v)
+
+
+def recompute_uv(scene, ro, rd, tri):
+    """Barycentrics of the winning triangle, recomputed once per ray.
+
+    The Pallas traversal kernels track only (t, tri) — two fewer (8,128)
+    select chains per unrolled triangle and two fewer output buffers; the
+    u/v the shader needs come from this single Moller-Trumbore replay
+    (formulas identical to intersect_rays, so values match the oracle)."""
+    safe = jnp.maximum(tri, 0)
+    trow = scene.tri_pack[safe]  # (R, 9)
+    p0 = trow[:, 0:3]
+    e1 = trow[:, 3:6]
+    e2 = trow[:, 6:9]
+    pvec = jnp.cross(rd, e2)
+    det = jnp.sum(e1 * pvec, axis=1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tvec = ro - p0
+    u = jnp.sum(tvec * pvec, axis=1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(rd * qvec, axis=1) * inv_det
+    miss = tri < 0
+    return jnp.where(miss, 0.0, u), jnp.where(miss, 0.0, v)
 
 
 PACKET_SIZE = 1024  # rays per packet (one 8x128 VREG tile)
@@ -352,6 +378,13 @@ def intersect_any(scene, ro, rd, tmax=None, active=None,
     the per-ray SIMT path is ~100x slower and only remains as the tiny-batch
     (< 1 packet) and correctness-oracle path.
     """
+    # Two-level BLAS/TLAS scenes route through the instance loop
+    # (scene/instanced.py); each per-mesh trace re-enters this dispatch.
+    if getattr(scene, "inst_w2o", None) is not None:
+        from ..scene.instanced import intersect_instanced
+
+        return intersect_instanced(scene, ro, rd, tmax=tmax, active=active,
+                                   any_hit=any_hit)
     R = ro.shape[0]
     pad = (-R) % PACKET_SIZE
     if pad and R >= PACKET_SIZE // 2:
@@ -394,6 +427,10 @@ def occluded(scene, ro, rd, dist, active=None) -> jnp.ndarray:
     near-first ordering, no best-hit bookkeeping — see
     pallas_intersect._anyhit_kernel); elsewhere the generic any_hit path.
     """
+    if getattr(scene, "inst_w2o", None) is not None:
+        from ..scene.instanced import occluded_instanced
+
+        return occluded_instanced(scene, ro, rd, dist, active=active)
     R = ro.shape[0]
     tmax = dist * (1.0 - 1e-3)
     if _pallas_enabled():

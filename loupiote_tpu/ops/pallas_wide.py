@@ -44,8 +44,6 @@ SUBP = 128  # rays per sub-packet (lanes)
 TILE = SUB * SUBP
 WIDTH = 8  # children per wide node
 LEAF_CAP = 14
-CHAINS = 1  # interleaved traversal states per cell (kernel is VPU-bound:
-#             chains > 1 measured cost-neutral; kept for experiments)
 BIG = 3e30  # python float: jnp scalars would be captured consts in pallas
 LEAF_TAG = 1 << 30
 LEAF_MASK = LEAF_TAG - 1
@@ -66,13 +64,16 @@ def _moller_trumbore(rs, ray, mask_col, t_best, leaf_cap, any_hit,
 
     ``rs``: (8,128) leaf rows; ``mask_col``: (8,1) int32 row-valid;
     ``t_best``/the returned tuple are (8,128) best-hit accumulators.
+    Only t and the triangle id are tracked — barycentrics for the winning
+    triangle are recomputed once outside the kernel (recompute_uv), which
+    drops two (8,128) select chains per unrolled triangle.
     """
     (ox, oy, oz, dx, dy, dz, _, _, _, t0, act) = ray
     fc = lax.bitcast_convert_type(rs[:, 126:127], jnp.int32)
     lcount = fc & 15
     lfirst = fc >> 4
 
-    t, u, v, tri = t_best
+    t, tri = t_best
     lane_ok = (act > 0) & (_bc(mask_col) > 0)
     if any_hit:
         lane_ok = lane_ok & (blocked_ref[...] == 0)
@@ -107,20 +108,18 @@ def _moller_trumbore(rs, ray, mask_col, t_best, leaf_cap, any_hit,
             new_blocked = jnp.maximum(new_blocked, ok.astype(jnp.int32))
         else:
             t = jnp.where(ok, tt, t)
-            u = jnp.where(ok, uu, u)
-            v = jnp.where(ok, vv, v)
             tri = jnp.where(ok, _bc(lfirst) + k, tri)
     if any_hit:
         blocked_ref[...] = jnp.maximum(blocked_ref[...], new_blocked)
-    return t, u, v, tri
+    return t, tri
 
 
 def _wide_kernel(rows_ref,
                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
                  act_ref,
-                 t_out, u_out, v_out, tri_out,
+                 t_out, tri_out,
                  *, end_index: int, any_hit: bool, max_steps: int,
-                 leaf_cap: int, stack_size: int, chains: int,
+                 leaf_cap: int, stack_size: int,
                  flush_fill: int = 6):
     END = jnp.int32(end_index)
     lane_s = lax.broadcasted_iota(jnp.int32, (SUB, stack_size), 1)
@@ -130,38 +129,28 @@ def _wide_kernel(rows_ref,
         return 1.0 / jnp.where(jnp.abs(d) > 1e-20, d,
                                jnp.where(d >= 0, 1e-20, -1e-20))
 
-    rays = []
-    inits = []
-    for c in range(chains):
-        ox, oy, oz = ox_ref[0, c], oy_ref[0, c], oz_ref[0, c]
-        dx, dy, dz = dx_ref[0, c], dy_ref[0, c], dz_ref[0, c]
-        act = act_ref[0, c]  # (8,128) int32 0/1
-        t0 = t0_ref[0, c]
-        rays.append((ox, oy, oz, dx, dy, dz,
-                     safe_inv(dx), safe_inv(dy), safe_inv(dz), t0, act))
-        inits.append((
-            jnp.zeros((SUB, 1), jnp.int32),  # cur (root = row 0)
-            jnp.zeros((SUB, 1), jnp.int32),  # ptr
-            (jnp.sum(act, axis=1, keepdims=True) == 0).astype(jnp.int32),
-            jnp.zeros((SUB, stack_size), jnp.int32),  # stack
-            jnp.full((SUB, 1), -1, jnp.int32),  # pend (parked leaf row)
-        ))
-        # Best-hit state lives in the output refs (updated under pl.when).
-        t_out[0, c] = t0
-        u_out[0, c] = jnp.zeros((SUB, SUBP), jnp.float32)
-        v_out[0, c] = jnp.zeros((SUB, SUBP), jnp.float32)
-        tri_out[0, c] = (jnp.zeros((SUB, SUBP), jnp.int32) if any_hit
-                         else jnp.full((SUB, SUBP), -1, jnp.int32))
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    act = act_ref[0]  # (8,128) int32 0/1
+    t0 = t0_ref[0]
+    ray = (ox, oy, oz, dx, dy, dz,
+           safe_inv(dx), safe_inv(dy), safe_inv(dz), t0, act)
+    init = (
+        jnp.zeros((SUB, 1), jnp.int32),  # cur (root = row 0)
+        jnp.zeros((SUB, 1), jnp.int32),  # ptr
+        (jnp.sum(act, axis=1, keepdims=True) == 0).astype(jnp.int32),
+        jnp.zeros((SUB, stack_size), jnp.int32),  # stack
+        jnp.full((SUB, 1), -1, jnp.int32),  # pend (parked leaf row)
+    )
+    # Best-hit state lives in the output refs (updated under pl.when).
+    t_out[0] = t0
+    tri_out[0] = (jnp.zeros((SUB, SUBP), jnp.int32) if any_hit
+                  else jnp.full((SUB, SUBP), -1, jnp.int32))
 
-    def refs(c):
-        return (t_out.at[0, c], u_out.at[0, c], v_out.at[0, c],
-                tri_out.at[0, c])
-
-    def advance(c, st):
-        ray = rays[c]
+    def advance(st):
         (ox, oy, oz, dx, dy, dz, ix, iy, iz, t0, act) = ray
         (cur, ptr, done, stack, pend) = st
-        t_ref, u_ref, v_ref, tri_ref = refs(c)
+        t_ref, tri_ref = t_out.at[0], tri_out.at[0]
 
         live = 1 - done
         leafbit = (cur >> 30) & 1  # (8,1): parked-at-leaf rows
@@ -179,17 +168,12 @@ def _wide_kernel(rows_ref,
             rows2 = jnp.concatenate(
                 [rows_ref[pl.ds(jnp.maximum(pend[s, 0], 0), 1), :]
                  for s in range(SUB)], axis=0)
-            best = (t_ref[...], u_ref[...], v_ref[...],
-                    (None if any_hit else tri_ref[...]))
-            if any_hit:
-                best = (best[0], best[1], best[2],
-                        jnp.zeros((SUB, SUBP), jnp.int32))
-            nt, nu, nv, ntri = _moller_trumbore(
-                rows2, ray, occ, (best[0], best[1], best[2], best[3]),
+            best_tri = (jnp.zeros((SUB, SUBP), jnp.int32) if any_hit
+                        else tri_ref[...])
+            nt, ntri = _moller_trumbore(
+                rows2, ray, occ, (t_ref[...], best_tri),
                 leaf_cap, any_hit, tri_ref if any_hit else None)
             t_ref[...] = nt
-            u_ref[...] = nu
-            v_ref[...] = nv
             if not any_hit:
                 tri_ref[...] = ntri
 
@@ -346,49 +330,43 @@ def _wide_kernel(rows_ref,
         return (new_cur, new_ptr, fin, new_stack, pend_new)
 
     def cond(carry):
-        steps, sts = carry
-        undone = sum(SUB - jnp.sum(sts[c][2]) for c in range(chains))
-        return jnp.logical_and(undone > 0, steps < max_steps)
+        steps, st = carry
+        return jnp.logical_and(jnp.sum(st[2]) < SUB, steps < max_steps)
 
     def body(carry):
-        steps, sts = carry
-        return steps + 1, tuple(advance(c, sts[c]) for c in range(chains))
+        steps, st = carry
+        return steps + 1, advance(st)
 
-    lax.while_loop(cond, body, (jnp.int32(0), tuple(inits)))
+    lax.while_loop(cond, body, (jnp.int32(0), init))
 
 
 @functools.partial(jax.jit,
                    static_argnames=("any_hit", "end_index", "interpret",
                                     "leaf_cap", "stack_size", "max_steps",
-                                    "chains", "flush_fill"))
+                                    "flush_fill"))
 def _wide_trace(trav_rows, ox, oy, oz, dx, dy, dz, t0, act,
                 *, any_hit: bool, end_index: int, max_steps: int,
                 interpret: bool = False, leaf_cap: int = LEAF_CAP,
-                stack_size: int = 64, chains: int = CHAINS,
-                flush_fill: int = 6):
+                stack_size: int = 64, flush_fill: int = 6):
     G = ox.shape[0]
-    C = ox.shape[1]
-    assert C == chains
     kernel = functools.partial(_wide_kernel, end_index=end_index,
                                any_hit=any_hit, leaf_cap=leaf_cap,
                                max_steps=max_steps, stack_size=stack_size,
-                               chains=chains, flush_fill=flush_fill)
+                               flush_fill=flush_fill)
     grid_spec = pl.GridSpec(
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # trav_rows (whole)
-        ] + [pl.BlockSpec((1, C, SUB, SUBP), lambda g: (g, 0, 0, 0),
+        ] + [pl.BlockSpec((1, SUB, SUBP), lambda g: (g, 0, 0),
                           memory_space=pltpu.VMEM)] * 8,
-        out_specs=[pl.BlockSpec((1, C, SUB, SUBP), lambda g: (g, 0, 0, 0),
-                                memory_space=pltpu.VMEM)] * 4,
+        out_specs=[pl.BlockSpec((1, SUB, SUBP), lambda g: (g, 0, 0),
+                                memory_space=pltpu.VMEM)] * 2,
     )
     out_shape = [
-        jax.ShapeDtypeStruct((G, C, SUB, SUBP), jnp.float32),
-        jax.ShapeDtypeStruct((G, C, SUB, SUBP), jnp.float32),
-        jax.ShapeDtypeStruct((G, C, SUB, SUBP), jnp.float32),
-        jax.ShapeDtypeStruct((G, C, SUB, SUBP), jnp.int32),
+        jax.ShapeDtypeStruct((G, SUB, SUBP), jnp.float32),
+        jax.ShapeDtypeStruct((G, SUB, SUBP), jnp.int32),
     ]
-    t, u, v, tri = pl.pallas_call(
+    t, tri = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -398,7 +376,7 @@ def _wide_trace(trav_rows, ox, oy, oz, dx, dy, dz, t0, act,
         ),
         interpret=interpret,
     )(trav_rows, ox, oy, oz, dx, dy, dz, t0, act)
-    return t, u, v, tri
+    return t, tri
 
 
 def _shadow_mt(rs, ray, mask_col, blocked):
@@ -649,21 +627,22 @@ def intersect_wide(scene, ro, rd, tmax=None, active=None,
     """Hit-compatible wrapper over the wide-BVH traversal kernel.
 
     Requires ``scene.trav_rows`` (built by accel/wide.py via
-    scene/buffers.py).
+    scene/buffers.py). The kernel tracks only (t, tri); barycentrics for
+    the winning triangle are recomputed once outside (recompute_uv), which
+    drops two output buffers and two select chains per unrolled triangle.
     """
     R = ro.shape[0]
     assert R % TILE == 0, f"ray count {R} must be a multiple of {TILE}"
-    chains = CHAINS if R % (TILE * CHAINS) == 0 else 1
-    G = R // (TILE * chains)
+    G = R // TILE
 
     def shape(x):
-        return x.reshape(G, chains, SUB, SUBP)
+        return x.reshape(G, SUB, SUBP)
 
     t0 = jnp.full(R, T_FAR, jnp.float32) if tmax is None else tmax
     act = (jnp.ones(R, jnp.int32) if active is None
            else active.astype(jnp.int32))
 
-    t, u, v, tri = _wide_trace(
+    t, tri = _wide_trace(
         scene.trav_rows,
         shape(ro[:, 0]), shape(ro[:, 1]), shape(ro[:, 2]),
         shape(rd[:, 0]), shape(rd[:, 1]), shape(rd[:, 2]),
@@ -672,14 +651,19 @@ def intersect_wide(scene, ro, rd, tmax=None, active=None,
         max_steps=4 * int(scene.wide_end) + 64,
         interpret=interpret,
         leaf_cap=int(getattr(scene, "leaf_cap", LEAF_CAP)),
-        stack_size=int(scene.wide_stack), chains=chains)
+        stack_size=int(scene.wide_stack))
 
     tri = tri.reshape(R)
     if any_hit:
         tri = jnp.where(tri > 0, tri, -1)  # blocked flag -> hit/miss tri
+        u = v = jnp.zeros(R, jnp.float32)
+    else:
+        from .intersect import recompute_uv
+
+        u, v = recompute_uv(scene, ro, rd, tri)
     if active is not None:
         tri = jnp.where(active, tri, -1)
-    return Hit(t.reshape(R), tri, u.reshape(R), v.reshape(R))
+    return Hit(t.reshape(R), tri, u, v)
 
 
 def occluded_wide(scene, ro, rd, tmax, active=None,

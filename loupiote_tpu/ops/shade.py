@@ -75,8 +75,23 @@ def decode_surface(scene, ro, rd, hit: Hit, textures: bool = True) -> Surface:
     ng = srow[:, 17:20]  # precomputed unit geometric normal
 
     n = n0 * b[0] + n1 * b[1] + n2 * b[2]
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=1, keepdims=True), 1e-12)
     uv = uv0 * b[0] + uv1 * b[1] + uv2 * b[2]
+
+    # Two-level BLAS/TLAS scenes: attributes are OBJECT-space per mesh;
+    # the instance supplies the normal matrix and material
+    # (scene/instanced.py; reference instances carry material + transform,
+    # gltf.rs:129-148).
+    if getattr(scene, "inst_w2o", None) is not None and hit.inst is not None:
+        inst = jnp.maximum(hit.inst, 0)
+        nm = scene.inst_nmat[inst]  # (R, 3, 3)
+        n = jnp.einsum("rij,rj->ri", nm, n)
+        ng = jnp.einsum("rij,rj->ri", nm, ng)
+        ng = ng / jnp.maximum(jnp.linalg.norm(ng, axis=1, keepdims=True),
+                              1e-12)
+        mat = scene.inst_mat_id[inst]
+        inst = hit.inst
+
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=1, keepdims=True), 1e-12)
 
     # Two-sided: orient both normals against the incoming direction
     # (the reference scene materials are doubleSided).

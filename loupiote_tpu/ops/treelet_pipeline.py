@@ -214,25 +214,10 @@ def treelet_intersect(scene, ro, rd, tmax=None, active=None,
     tri = jnp.where(use_fb, fb.tri, tri)
 
     # u/v recomputed once for final hits (the pipeline tracks only t/tri).
-    u, v = _recompute_uv(scene, ro, rd, tri)
+    from .intersect import recompute_uv
+
+    u, v = recompute_uv(scene, ro, rd, tri)
     return Hit(t, tri, u, v)
-
-
-def _recompute_uv(scene, ro, rd, tri):
-    safe = jnp.maximum(tri, 0)
-    trow = scene.tri_pack[safe]  # (R, 9)
-    p0 = trow[:, 0:3]
-    e1 = trow[:, 3:6]
-    e2 = trow[:, 6:9]
-    pvec = jnp.cross(rd, e2)
-    det = jnp.sum(e1 * pvec, axis=1)
-    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-    tvec = ro - p0
-    u = jnp.sum(tvec * pvec, axis=1) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = jnp.sum(rd * qvec, axis=1) * inv_det
-    miss = tri < 0
-    return jnp.where(miss, 0.0, u), jnp.where(miss, 0.0, v)
 
 
 def treelet_occluded(scene, ro, rd, dist, active=None,

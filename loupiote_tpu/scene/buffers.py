@@ -117,6 +117,19 @@ class SceneBuffers:
     # as the wide kernel); None disables the pipeline.
     treelet: object = None
 
+    # Two-level BLAS/TLAS instancing (scene/instanced.py): per-mesh BLAS
+    # buffers shared by all instances + per-instance transforms. When
+    # ``inst_w2o`` is set, traversal routes through intersect_instanced and
+    # the flattened node/trav tables above are placeholder-sized.
+    # Reference: BLASArray::{add_bvh,add_instance}
+    # (`/root/reference/crates/lib/src/scene.rs:43-49`).
+    blas: tuple = None  # tuple[SceneBuffers] per unique mesh
+    inst_w2o: jnp.ndarray = None  # (K, 4, 4) world-to-object
+    inst_nmat: jnp.ndarray = None  # (K, 3, 3) normal matrix (o2w^-T)
+    inst_mat_id: jnp.ndarray = None  # (K,) int32 material per instance
+    inst_tri_base: jnp.ndarray = None  # (K,) int32 global-tri offset
+    inst_mesh: tuple = struct.field(pytree_node=False, default=None)
+
     # Static metadata (not traced).
     num_tris: int = struct.field(pytree_node=False, default=0)
     num_nodes: int = struct.field(pytree_node=False, default=0)

@@ -1,0 +1,218 @@
+"""Two-level BLAS/TLAS scene buffers: per-mesh BVHs + instance transforms.
+
+Reference: ``BLASArray::{add_bvh, add_bvh_indexed, add_instance}`` builds
+one BVH per mesh and instances them with per-node transforms
+(`/root/reference/crates/lib/src/scene.rs:43-49`,
+`crates/lib/src/loaders/gltf.rs:129-148`). The flattened world-space build
+(scene/buffers.py) stays the fast path for static scenes; this module adds
+the capability the reference has that flattening loses:
+
+  - an instance-transform update re-renders WITHOUT any BVH rebuild or
+    geometry re-upload (``update_instance`` swaps one matrix row), and
+  - N instances of one mesh share a single BLAS (N x memory win).
+
+TPU-native design: no two-level traversal kernel. The TLAS level is a
+static unroll over instances (instances are few; the reference's own TLAS
+is an instance loop): rays transform into object space (4x4 matmul — MXU
+food) and run the EXISTING per-mesh kernels; the running best-t feeds the
+next instance as its tmax, so later instances traverse against a tight
+bound. Shading reads the concatenated object-space attribute tables and
+rotates normals by the per-instance normal matrix (ops/shade.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .buffers import SceneBuffers, build_scene_buffers
+from .hdr import Probe
+from .types import INVALID_INDEX, Scene
+
+
+def build_instanced_buffers(scene: Scene, probe: Optional[Probe] = None,
+                            atlas_size: int = 2048) -> SceneBuffers:
+    """Two-level upload: one BLAS per unique mesh + instance table.
+
+    Returns a SceneBuffers whose per-mesh ``blas`` tuple carries the
+    traversal tables and whose top-level triangle tables are the
+    concatenated OBJECT-space attributes (per-mesh-BVH order), so shading
+    works off global ids = inst_tri_base[instance] + mesh-local id.
+    """
+    if not scene.instances:
+        return build_scene_buffers(scene, probe=probe,
+                                   atlas_size=atlas_size)
+
+    used_meshes = sorted({inst.mesh_index for inst in scene.instances})
+    mesh_slot = {m: i for i, m in enumerate(used_meshes)}
+
+    # Per-mesh BLAS: identity single-instance scenes (object space).
+    blas = []
+    for m in used_meshes:
+        sub = Scene.default()
+        sub.materials = list(scene.materials) or sub.materials
+        sub.meshes = [scene.meshes[m]]
+        from .types import Instance
+
+        sub.instances = [Instance(mesh_index=0,
+                                  model_to_world=np.eye(4, dtype=np.float32),
+                                  material_index=0)]
+        sub.lights = []
+        sub.images = []
+        blas.append(build_scene_buffers(sub, treelets=False))
+
+    # Scene-level tables (materials, atlas, lights, probe) from a
+    # geometry-less build.
+    shell = Scene.default()
+    shell.materials = list(scene.materials)
+    shell.lights = list(scene.lights)
+    shell.images = list(scene.images)
+    shell.meshes, shell.instances = [], []
+    base_bufs = build_scene_buffers(shell, probe=probe,
+                                    atlas_size=atlas_size)
+
+    # Concatenated object-space attribute tables in per-mesh-BVH order.
+    mesh_tri_base = np.zeros(len(used_meshes), np.int64)
+    shade_parts, pack_parts = [], []
+    total = 0
+    for i, b in enumerate(blas):
+        mesh_tri_base[i] = total
+        shade_parts.append(np.asarray(b.tri_shade)[:b.num_tris])
+        pack_parts.append(np.asarray(b.tri_pack)[:b.num_tris])
+        total += b.num_tris
+    from .types import pad_rows
+
+    Tp = max(((total + 127) // 128) * 128, 128)
+    tri_shade = pad_rows(np.concatenate(shade_parts), Tp, 0.0)
+    tri_pack = pad_rows(np.concatenate(pack_parts), Tp, 0.0)
+    tri_pack[total:, 0:3] = 1e30
+
+    K = len(scene.instances)
+    w2o = np.zeros((K, 4, 4), np.float32)
+    nmat = np.zeros((K, 3, 3), np.float32)
+    mat_id = np.zeros(K, np.int32)
+    tri_base = np.zeros(K, np.int32)
+    inst_mesh = []
+    lo = np.full(3, np.inf, np.float32)
+    hi = np.full(3, -np.inf, np.float32)
+    for k, inst in enumerate(scene.instances):
+        s = mesh_slot[inst.mesh_index]
+        inst_mesh.append(s)
+        m = np.asarray(inst.model_to_world, np.float32)
+        w2o[k] = np.linalg.inv(m)
+        nmat[k] = np.linalg.inv(m[:3, :3]).T
+        mid = inst.material_index
+        if mid == int(INVALID_INDEX) or mid >= len(scene.materials):
+            mid = 0
+        mat_id[k] = mid
+        tri_base[k] = mesh_tri_base[s]
+        l, h = _world_aabb(blas[s], m)
+        lo, hi = np.minimum(lo, l), np.maximum(hi, h)
+
+    # World bounds feed ray-sort keys and scene_exit_t; keep them live in
+    # the (placeholder) node tables.
+    node_min = np.asarray(base_bufs.node_min).copy()
+    node_max = np.asarray(base_bufs.node_max).copy()
+    node_min[0] = lo
+    node_max[0] = hi
+
+    return base_bufs.replace(
+        tri_shade=jnp.asarray(tri_shade),
+        tri_pack=jnp.asarray(tri_pack),
+        node_min=jnp.asarray(node_min),
+        node_max=jnp.asarray(node_max),
+        blas=tuple(blas),
+        inst_w2o=jnp.asarray(w2o),
+        inst_nmat=jnp.asarray(nmat),
+        inst_mat_id=jnp.asarray(mat_id),
+        inst_tri_base=jnp.asarray(tri_base),
+        inst_mesh=tuple(inst_mesh),
+        num_tris=int(total),
+        num_lights=base_bufs.num_lights,
+    )
+
+
+def _world_aabb(mesh_bufs: SceneBuffers, m: np.ndarray):
+    """World-space AABB of a mesh's object-space root box under ``m``."""
+    bmin = np.asarray(mesh_bufs.node_min)[0]
+    bmax = np.asarray(mesh_bufs.node_max)[0]
+    pts = np.array([[x, y, z] for x in (bmin[0], bmax[0])
+                    for y in (bmin[1], bmax[1])
+                    for z in (bmin[2], bmax[2])], np.float32)
+    w = pts @ m[:3, :3].T + m[:3, 3]
+    return w.min(0), w.max(0)
+
+
+def update_instance(bufs: SceneBuffers, k: int,
+                    model_to_world: np.ndarray) -> SceneBuffers:
+    """Move instance ``k``: swaps one transform row — NO BVH rebuild, no
+    geometry re-upload (the capability flattening loses; scene.rs:43-49)."""
+    m = np.asarray(model_to_world, np.float32)
+    w2o = np.asarray(bufs.inst_w2o).copy()
+    nmat = np.asarray(bufs.inst_nmat).copy()
+    w2o[k] = np.linalg.inv(m)
+    nmat[k] = np.linalg.inv(m[:3, :3]).T
+    # Refresh world bounds.
+    lo = np.full(3, np.inf, np.float32)
+    hi = np.full(3, -np.inf, np.float32)
+    for i, s in enumerate(bufs.inst_mesh):
+        o2w = np.linalg.inv(w2o[i])
+        l, h = _world_aabb(bufs.blas[s], o2w)
+        lo, hi = np.minimum(lo, l), np.maximum(hi, h)
+    node_min = np.asarray(bufs.node_min).copy()
+    node_max = np.asarray(bufs.node_max).copy()
+    node_min[0] = lo
+    node_max[0] = hi
+    return bufs.replace(inst_w2o=jnp.asarray(w2o),
+                        inst_nmat=jnp.asarray(nmat),
+                        node_min=jnp.asarray(node_min),
+                        node_max=jnp.asarray(node_max))
+
+
+def intersect_instanced(bufs: SceneBuffers, ro, rd, tmax=None, active=None,
+                        any_hit: bool = False):
+    """TLAS loop: per instance, transform rays to object space and run the
+    mesh kernels; the running best-t bounds each later instance."""
+    from ..ops.intersect import INVALID_TRI, T_FAR, Hit, intersect_any
+
+    R = ro.shape[0]
+    best_t = (jnp.full(R, T_FAR, jnp.float32) if tmax is None
+              else tmax.astype(jnp.float32))
+    best_tri = jnp.full(R, INVALID_TRI, jnp.int32)
+    best_inst = jnp.full(R, -1, jnp.int32)
+    act = (jnp.ones(R, jnp.bool_) if active is None else active)
+
+    for k, slot in enumerate(bufs.inst_mesh):
+        w2o = bufs.inst_w2o[k]
+        ro_o = ro @ w2o[:3, :3].T + w2o[:3, 3]
+        rd_o = rd @ w2o[:3, :3].T  # unnormalized: t stays world-param
+        lane_act = act
+        if any_hit:
+            lane_act = lane_act & (best_tri < 0)  # already blocked: skip
+        hit = intersect_any(bufs.blas[slot], ro_o, rd_o, tmax=best_t,
+                            active=lane_act, any_hit=any_hit)
+        if any_hit:
+            win = hit.tri >= 0  # blocked flag; t is not meaningful
+        else:
+            win = (hit.tri >= 0) & (hit.t < best_t)
+            best_t = jnp.where(win, hit.t, best_t)
+        best_tri = jnp.where(win, hit.tri + bufs.inst_tri_base[k], best_tri)
+        best_inst = jnp.where(win, k, best_inst)
+
+    from ..ops.intersect import recompute_uv
+
+    u, v = recompute_uv(bufs, ro, rd, best_tri)
+    return Hit(best_t, best_tri, u, v, inst=best_inst)
+
+
+def occluded_instanced(bufs: SceneBuffers, ro, rd, dist,
+                       active=None) -> jnp.ndarray:
+    tmax = dist * (1.0 - 1e-3)
+    hit = intersect_instanced(bufs, ro, rd, tmax=tmax, active=active,
+                              any_hit=True)
+    out = hit.tri >= 0
+    if active is not None:
+        out = out & active
+    return out

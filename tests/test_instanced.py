@@ -1,0 +1,155 @@
+"""Two-level BLAS/TLAS instancing (scene/instanced.py).
+
+Reference capability: BLASArray::{add_bvh,add_instance}
+(`/root/reference/crates/lib/src/scene.rs:43-49`): per-mesh BVHs shared by
+transformed instances — moving an instance must NOT rebuild any BVH, and
+N instances of a mesh must not cost N x BVH memory.
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from loupiote_tpu.ops.intersect import intersect_rays  # noqa: E402
+from loupiote_tpu.scene import Scene, build_scene_buffers  # noqa: E402
+from loupiote_tpu.scene.instanced import (build_instanced_buffers,  # noqa: E402
+                                          update_instance)
+from loupiote_tpu.scene.types import Instance, Mesh  # noqa: E402
+
+
+def _mesh(rng, n=400, spread=2.0):
+    base = (rng.random((n, 3), dtype=np.float32) - 0.5) * spread
+    p1 = base + (rng.random((n, 3), dtype=np.float32) - 0.5) * 0.4
+    p2 = base + (rng.random((n, 3), dtype=np.float32) - 0.5) * 0.4
+    positions = np.concatenate([base, p1, p2]).astype(np.float32)
+    indices = np.arange(3 * n, dtype=np.int32).reshape(3, n).T.reshape(-1)
+    return Mesh(positions=positions, normals=None, texcoords=None,
+                indices=indices)
+
+
+def _xlate(x, y, z):
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 3] = [x, y, z]
+    return m
+
+
+@pytest.fixture(scope="module")
+def scenes(rng):
+    scene = Scene.default()
+    scene.meshes.append(_mesh(rng))
+    for k, off in enumerate([(-3, 0, 0), (3, 0, 0), (0, 3, 0), (0, -3, 0)]):
+        scene.instances.append(Instance(
+            mesh_index=len(scene.meshes) - 1,
+            model_to_world=_xlate(*off), material_index=0))
+    flat = build_scene_buffers(scene)
+    inst = build_instanced_buffers(scene)
+    return scene, flat, inst
+
+
+def _rays(rng, R=512):
+    ro = ((rng.random((R, 3)) - 0.5) * 14).astype(np.float32)
+    rd = (rng.random((R, 3)) - 0.5).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    return jnp.asarray(ro), jnp.asarray(rd)
+
+
+def test_instanced_matches_flattened(scenes, rng):
+    _, flat, inst = scenes
+    ro, rd = _rays(rng)
+    want = intersect_rays(flat, ro, rd)
+    from loupiote_tpu.ops.intersect import intersect_any
+
+    got = intersect_any(inst, ro, rd)
+    wh = np.asarray(want.tri) >= 0
+    gh = np.asarray(got.tri) >= 0
+    assert (wh == gh).all()
+    # t agrees to float tolerance (flatten pre-transforms vertices;
+    # instancing transforms rays — not bitwise identical).
+    assert np.allclose(np.asarray(got.t)[wh], np.asarray(want.t)[wh],
+                       rtol=1e-4, atol=1e-4)
+    assert (np.asarray(got.inst)[gh] >= 0).all()
+
+
+def test_occluded_matches(scenes, rng):
+    _, flat, inst = scenes
+    ro, rd = _rays(rng)
+    from loupiote_tpu.ops.intersect import occluded
+
+    dist = jnp.full(ro.shape[0], 8.0)
+    a = np.asarray(occluded(flat, ro, rd, dist))
+    b = np.asarray(occluded(inst, ro, rd, dist))
+    # Boundary-epsilon cases may differ by a ulp of t; demand near-total
+    # agreement.
+    assert (a == b).mean() > 0.995
+
+
+def test_update_instance_no_rebuild(scenes, rng):
+    scene, _, inst = scenes
+    ro, rd = _rays(rng)
+    from loupiote_tpu.ops.intersect import intersect_any
+
+    before = intersect_any(inst, ro, rd)
+    moved = update_instance(inst, 0, _xlate(-3, 0, 50))
+    # The BLAS tuple is untouched — same arrays, no rebuild.
+    assert moved.blas is inst.blas
+    after = intersect_any(moved, ro, rd)
+    # Rays that hit instance 0 must change; others are unchanged.
+    i0 = np.asarray(before.inst) == 0
+    others = ~i0
+    assert np.allclose(np.asarray(after.t)[others],
+                       np.asarray(before.t)[others], rtol=1e-4, atol=1e-4)
+    assert not np.allclose(np.asarray(after.t)[i0],
+                           np.asarray(before.t)[i0])
+
+
+def test_memory_win(scenes):
+    import jax
+
+    _, flat, inst = scenes
+
+    def nbytes(bufs):
+        return sum(x.nbytes for x in jax.tree.leaves(bufs)
+                   if hasattr(x, "nbytes"))
+
+    # 4 instances share one BLAS: traversal+attribute tables must be well
+    # under the flattened build's 4x copies.
+    assert nbytes(inst) < 0.55 * nbytes(flat)
+
+
+def test_instanced_render_smoke(scenes, rng):
+    """Full render through the Renderer with instanced buffers: normals
+    rotate per instance and the image statistically matches flattened."""
+    from loupiote_tpu.config import BlitMode, RenderConfig
+    from loupiote_tpu.render import Renderer
+    from loupiote_tpu.scene import Light
+
+    scene, flat, inst = scenes
+    light = Light(origin=np.array([-4, 6, -4], np.float32),
+                  edge_u=np.array([8, 0, 0], np.float32),
+                  edge_v=np.array([0, 0, 8], np.float32),
+                  emission=np.ones(3, np.float32), intensity=12.0)
+    cam = np.eye(4, dtype=np.float32)
+    cam[:3, 3] = [0, 0, 12]
+    cam[:3, 2] = [0, 0, -1]
+
+    imgs = {}
+    for name, bufs in (("flat", flat), ("inst", inst)):
+        bufs = bufs.replace(
+            light_origin=jnp.asarray(light.origin[None]),
+            light_eu=jnp.asarray(light.edge_u[None]),
+            light_ev=jnp.asarray(light.edge_v[None]),
+            light_emission=jnp.asarray(
+                (light.emission * light.intensity)[None]),
+            num_lights=1)
+        r = Renderer((64, 64), RenderConfig(downsample_factor=1.0,
+                                            denoise=False))
+        r.set_resources(bufs)
+        r.set_blit_mode(BlitMode.PATHTRACE)
+        r.accumulate = True
+        for _ in range(4):
+            r.raytrace(cam)
+        imgs[name] = np.asarray(r.state.accum)
+    a, b = imgs["flat"], imgs["inst"]
+    assert a.mean() > 1e-3
+    assert abs(a.mean() - b.mean()) / a.mean() < 0.12
