@@ -221,7 +221,16 @@ def section_cornell():
     cam2 = np.eye(4, dtype=np.float32)
     cam2[:3, 0], cam2[:3, 1] = [1, 0, 0], [0, 1, 0]
     cam2[:3, 2], cam2[:3, 3] = [0, 0, -1], [0, 0.6, 12]
-    r = Renderer((WIDTH, HEIGHT), RenderConfig(downsample_factor=0.5))
+    # Multi-chip hosts shard the frame over a tile mesh automatically
+    # (parallel/tiles.py); the tunnel exposes one chip, so this is
+    # exercised for real on pod slices and via dryrun_multichip.
+    mesh = None
+    if len(jax.devices()) > 1:
+        from loupiote_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+    r = Renderer((WIDTH, HEIGHT), RenderConfig(downsample_factor=0.5),
+                 mesh=mesh)
     r.set_resources(bufs2)
     r.set_blit_mode(BlitMode.DENOISED_PATHTRACE)
     r.raytrace(cam2)

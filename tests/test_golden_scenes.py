@@ -1,0 +1,110 @@
+"""Golden-image regression at bench scale (VERDICT r2 item 9): the arch
+procedural scene (the headline bench geometry, scaled down) and a textured
+scene exercising the atlas sampling path. Traversal/collapse/shading
+changes are gated here, not just on the tiny Cornell golden.
+
+Goldens are this renderer's own converged output (the reference kernels
+are unmounted); absolute correctness is covered by tests/test_cpu_oracle.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+import pytest
+
+from loupiote_tpu.render.integrator import trace_paths
+from loupiote_tpu.scene import Scene, build_scene_buffers
+from loupiote_tpu.scene.types import Instance, Light, Material, Mesh
+
+GOLD_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def psnr(a, b, peak=None):
+    peak = peak or max(b.max(), 1e-6)
+    mse = np.mean((a - b) ** 2)
+    return 10.0 * np.log10(peak * peak / max(mse, 1e-12))
+
+
+def test_arch_psnr_vs_golden():
+    from loupiote_tpu.scene.procedural import arch_camera, build_arch_scene
+
+    golden = np.load(os.path.join(GOLD_DIR, "arch40k_48x48_24spp.npy"))
+    bufs = build_scene_buffers(build_arch_scene(40_000), treelets=False)
+    f = jax.jit(lambda k: trace_paths(bufs, jnp.asarray(arch_camera()),
+                                      48, 48, k, bounces=2)[0])
+    acc = 0.0
+    n = 6
+    for i in range(n):  # disjoint seeds vs the golden's 1000+
+        acc = acc + np.asarray(f(jr.PRNGKey(i)))
+    img = (acc / n).reshape(48, 48, 3)
+    p = psnr(img, golden)
+    assert p > 18.0, f"arch PSNR vs golden = {p:.1f} dB"
+    assert abs(img.mean() - golden.mean()) < 0.06 * golden.mean()
+
+
+def textured_quad_scene():
+    """Floor quad with a checkerboard albedo texture + one quad light."""
+    scene = Scene.default()
+    check = np.zeros((64, 64, 4), np.uint8)
+    check[..., 3] = 255
+    yy, xx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    board = ((xx // 8 + yy // 8) % 2).astype(bool)
+    check[board] = [230, 60, 40, 255]
+    check[~board] = [40, 200, 230, 255]
+    from loupiote_tpu.scene.types import ImageData
+
+    scene.images = [ImageData.from_array(check)]
+    scene.materials = [Material(albedo_texture=0, roughness=1.0)]
+    positions = np.array([[-2, 0, -2], [2, 0, -2], [2, 0, 2], [-2, 0, 2]],
+                         np.float32)
+    texcoords = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    normals = np.tile(np.array([[0, 1, 0]], np.float32), (4, 1))
+    indices = np.array([0, 1, 2, 0, 2, 3], np.int32)
+    scene.meshes = [Mesh(positions=positions, normals=normals,
+                         texcoords=texcoords, indices=indices)]
+    scene.instances = [Instance(mesh_index=0,
+                                model_to_world=np.eye(4, dtype=np.float32),
+                                material_index=0)]
+    scene.lights = [Light(origin=np.array([-1.5, 3, -1.5], np.float32),
+                          edge_u=np.array([3, 0, 0], np.float32),
+                          edge_v=np.array([0, 0, 3], np.float32),
+                          emission=np.ones(3, np.float32), intensity=6.0)]
+    return scene
+
+
+# Camera at (0,3,3) pitched 45 degrees down at the floor quad (same
+# axis-column convention as the Cornell cam in test_render).
+TEX_CAM = np.array([[1, 0, 0, 0],
+                    [0, 0.7071, -0.7071, 3.0],
+                    [0, -0.7071, -0.7071, 3.0],
+                    [0, 0, 0, 1]], np.float32)
+
+
+def _render_textured(n, seed0):
+    bufs = build_scene_buffers(textured_quad_scene())
+    assert bufs.has_textures
+    f = jax.jit(lambda k: trace_paths(bufs, jnp.asarray(TEX_CAM),
+                                      64, 64, k, bounces=2)[0])
+    acc = 0.0
+    for i in range(n):
+        acc = acc + np.asarray(f(jr.PRNGKey(seed0 + i)))
+    return (acc / n).reshape(64, 64, 3)
+
+
+def test_textured_psnr_vs_golden():
+    path = os.path.join(GOLD_DIR, "textured_64x64_32spp.npy")
+    if not os.path.exists(path):  # regeneration helper
+        np.save(path, _render_textured(32, 5000).astype(np.float32))
+        pytest.skip("golden regenerated")
+    golden = np.load(path)
+    img = _render_textured(8, 0)
+    p = psnr(img, golden)
+    assert p > 20.0, f"textured PSNR vs golden = {p:.1f} dB"
+    # The checker must actually show up (texture path live): the two tile
+    # colors differ strongly in the red channel.
+    r = img[..., 0]
+    assert r.std() > 0.05
+    assert abs(img.mean() - golden.mean()) < 0.06 * golden.mean()
