@@ -295,7 +295,9 @@ class BounceState(NamedTuple):
 
 def shade_step(scene, state: BounceState, hit: Hit, key, nee: bool = True,
                last: bool = False,
-               light_uv: jnp.ndarray | None = None):
+               light_uv: jnp.ndarray | None = None,
+               bsdf_uv: jnp.ndarray | None = None,
+               lobe_u: jnp.ndarray | None = None):
     """Advance every ray one bounce. Returns (BounceState, Surface).
 
     ``last``: this is the path's final vertex. Without care the NEE here is
@@ -307,8 +309,9 @@ def shade_step(scene, state: BounceState, hit: Hit, key, nee: bool = True,
     complete with normal power-heuristic weights. (Full NEE weight instead
     would reintroduce the 1/d^2 near-light firefly that MIS damps.)
 
-    ``light_uv``: optional (R, 2) low-discrepancy pair replacing the PRNG
-    draws for the quad-light surface point (blue-noise shading dimension,
+    ``light_uv``/``bsdf_uv``/``lobe_u``: optional low-discrepancy draws
+    replacing the PRNG for the quad-light surface point, the BSDF sample
+    pair, and the lobe-selection scalar (blue-noise shading dimensions,
     reference renderer.rs:666-673).
     """
     ro, rd = state.ro, state.rd
@@ -380,10 +383,13 @@ def shade_step(scene, state: BounceState, hit: Hit, key, nee: bool = True,
         radiance = radiance + jnp.where((mask_e & ~blocked_e)[:, None], contrib_e, 0.0)
 
     # --- Sample the BSDF for the continuation ray.
-    wi, f, pdf = sample_bsdf(surf, wo,
-                             jax.random.uniform(k_lobe, (R,)),
-                             jax.random.uniform(k_u1, (R,)),
-                             jax.random.uniform(k_u2, (R,)))
+    u_lobe = (lobe_u if lobe_u is not None
+              else jax.random.uniform(k_lobe, (R,)))
+    u1 = bsdf_uv[:, 0] if bsdf_uv is not None else jax.random.uniform(
+        k_u1, (R,))
+    u2 = bsdf_uv[:, 1] if bsdf_uv is not None else jax.random.uniform(
+        k_u2, (R,))
+    wi, f, pdf = sample_bsdf(surf, wo, u_lobe, u1, u2)
     cos_n = jnp.sum(surf.n_shade * wi, axis=1)
     ok = hit_geo & (pdf > 1e-12) & (cos_n > 0) & (jnp.sum(surf.n_geom * wi, axis=1) > 0)
     new_throughput = throughput * f * (jnp.maximum(cos_n, 0.0) / jnp.maximum(pdf, 1e-12))[:, None]

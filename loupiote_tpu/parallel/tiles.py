@@ -40,7 +40,8 @@ def make_mesh(n_tiles: Optional[int] = None, n_spp: int = 1,
 def trace_paths_sharded(scene, cam_to_world, key, *, mesh: Mesh, width: int,
                         height: int, bounces: int = 3, nee: bool = True,
                         vfov: float = 0.7853982, spp: int = 1,
-                        jitter=None, nee_uv=None):
+                        jitter=None, nee_uv=None,
+                        noise_tex=None, frame_count=None):
     """Sharded frame trace. Returns (radiance (H, W, 3), gbuffer dict of
     (H, W, ...) arrays), fully replicated on exit.
 
@@ -67,7 +68,13 @@ def trace_paths_sharded(scene, cam_to_world, key, *, mesh: Mesh, width: int,
         jitter = jitter.reshape(height, width, 2)
         nee_uv = nee_uv.reshape(height, width, 2)
 
-    def shard_fn(scene, cam_to_world, key, jit_slab, nee_slab):
+    if noise_tex is None:
+        noise_tex_in = jnp.zeros((1, 1, 2), jnp.float32)
+        fc_in = jnp.int32(0)
+    else:
+        noise_tex_in, fc_in = noise_tex, frame_count
+
+    def shard_fn(scene, cam_to_world, key, jit_slab, nee_slab, ntex, fc):
         ti = jax.lax.axis_index("tiles")
         si = jax.lax.axis_index("spp")
         k = jax.random.fold_in(jax.random.fold_in(key[0], ti), si)
@@ -77,6 +84,8 @@ def trace_paths_sharded(scene, cam_to_world, key, *, mesh: Mesh, width: int,
                                       if use_noise else None),
                               nee_uv=(nee_slab.reshape(-1, 2)
                                       if use_noise else None),
+                              noise_tex=(ntex if use_noise else None),
+                              frame_count=(fc if use_noise else None),
                               row_offset=ti * rows, rows=rows)
         # Average radiance over the spp axis (each member traced a
         # different sample of the same slab).
@@ -100,13 +109,14 @@ def trace_paths_sharded(scene, cam_to_world, key, *, mesh: Mesh, width: int,
 
     shard = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P("tiles"), P("tiles")),
+        in_specs=(P(), P(), P(), P("tiles"), P("tiles"), P(), P()),
         out_specs=(P("tiles"), {k: P("tiles") for k in
                                 ("normal", "depth", "mesh_id", "albedo",
                                  "world_pos")}),
     )
     # key passed as (1, 2) so it replicates cleanly under shard_map.
-    img, gbuf = shard(scene, cam_to_world, key[None], jitter, nee_uv)
+    img, gbuf = shard(scene, cam_to_world, key[None], jitter, nee_uv,
+                      noise_tex_in, fc_in)
     return img, gbuf
 
 
@@ -141,11 +151,12 @@ def render_frame_sharded(scene, state, cam_to_world, world_to_screen,
                                width, height, dim=0)
         nee_uv = blue_noise_uv(state.noise_tex, state.frame_count,
                                width, height, dim=1)
-    img, gbuf = trace_paths_sharded(scene, cam_to_world, k_frame, mesh=mesh,
-                                    width=width, height=height,
-                                    bounces=bounces, nee=nee, vfov=vfov,
-                                    spp=mesh.shape["spp"],
-                                    jitter=jitter, nee_uv=nee_uv)
+    img, gbuf = trace_paths_sharded(
+        scene, cam_to_world, k_frame, mesh=mesh, width=width, height=height,
+        bounces=bounces, nee=nee, vfov=vfov, spp=mesh.shape["spp"],
+        jitter=jitter, nee_uv=nee_uv,
+        noise_tex=state.noise_tex if use_noise else None,
+        frame_count=state.frame_count if use_noise else None)
 
     gb = GBuffer(normal=gbuf["normal"].reshape(-1, 3),
                  depth=gbuf["depth"].reshape(-1),

@@ -61,7 +61,9 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
                 nee: bool = True, jitter: jnp.ndarray | None = None,
                 nee_uv: jnp.ndarray | None = None,
                 row_offset=0, rows: int | None = None,
-                sort_rays: bool = True):
+                sort_rays: bool = True,
+                noise_tex: jnp.ndarray | None = None,
+                frame_count: jnp.ndarray | None = None):
     """Trace one sample per pixel. Returns (radiance (R,3), GBuffer).
 
     ``row_offset``/``rows`` select a horizontal slab of the image — the unit
@@ -71,6 +73,12 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
     ``sort_rays``: re-sort live rays by direction-octant + origin-Morton
     between bounces (ops/sort.py) so secondary waves stay packet-coherent
     and dead rays compact into instantly-retiring tiles.
+
+    ``noise_tex``/``frame_count``: when set, EVERY shading dimension (light
+    sampling, BSDF sampling, lobe selection, every bounce) draws from the
+    blue-noise texture with per-dimension R2 rotations instead of the PRNG
+    (full RadianceParameters.use_noise_texture parity,
+    renderer.rs:666-673).
     """
     if rows is None:
         rows = height
@@ -105,6 +113,13 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
         use_mis=jnp.zeros(R, jnp.bool_),
     )
 
+    def bn(dim):
+        from .renderer import blue_noise_uv
+
+        plane = blue_noise_uv(noise_tex, frame_count, width, height,
+                              dim=dim, row_offset=row_offset, rows=rows)
+        return to_tile_order(plane, width, rows) if tiled else plane
+
     gbuffer = None
     scene_lo = scene.node_min[0]
     scene_hi = scene.node_max[0]
@@ -126,9 +141,17 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
                 world_pos=surf0.pos,
             )
         k_bounce, k_step = jax.random.split(k_bounce)
+        light_uv = nee_uv if bounce == 0 else None
+        bsdf_uv = lobe_u = None
+        if noise_tex is not None:
+            if light_uv is None:
+                light_uv = bn(1 + 3 * bounce)
+            bsdf_uv = bn(2 + 3 * bounce)
+            lobe_u = bn(3 + 3 * bounce)[:, 0]
         state, _ = shade_step(scene, state, hit, k_step, nee=nee,
                               last=(bounce == bounces - 1),
-                              light_uv=(nee_uv if bounce == 0 else None))
+                              light_uv=light_uv, bsdf_uv=bsdf_uv,
+                              lobe_u=lobe_u)
 
     radiance = state.radiance
     if tiled:

@@ -89,17 +89,24 @@ def _project_uv(world_to_screen: jnp.ndarray, pos: jnp.ndarray):
 
 
 def blue_noise_uv(noise_tex: jnp.ndarray, frame_count: jnp.ndarray,
-                  width: int, height: int, dim: int = 0) -> jnp.ndarray:
+                  width: int, height: int, dim: int = 0,
+                  row_offset=0, rows: int | None = None) -> jnp.ndarray:
     """Per-pixel blue-noise 2-vector with an R2 Cranley-Patterson rotation.
 
-    ``dim`` selects a decorrelated dimension pair (0 = AA jitter, 1 =
-    first-bounce light sampling, ...) by offsetting the toroidal rotation —
-    the reference gates all shading noise on one texture the same way
+    ``dim`` selects a decorrelated dimension pair (0 = AA jitter, then
+    3 pairs per bounce: light sampling, BSDF sampling, lobe selection) by
+    offsetting the toroidal rotation — the reference gates ALL shading
+    noise on one texture the same way
     (RadianceParameters.use_noise_texture, renderer.rs:666-673).
+
+    ``row_offset``/``rows`` generate the plane for one horizontal slab
+    (multi-chip tile sharding, parallel/tiles.py).
     """
+    if rows is None:
+        rows = height
     hn, wn = noise_tex.shape[:2]
-    yy, xx = jnp.meshgrid(jnp.arange(height) % hn, jnp.arange(width) % wn,
-                          indexing="ij")
+    yy, xx = jnp.meshgrid((row_offset + jnp.arange(rows)) % hn,
+                          jnp.arange(width) % wn, indexing="ij")
     base = noise_tex[yy.reshape(-1), xx.reshape(-1)]  # (R, 2)
     g = jnp.asarray([0.7548776662, 0.5698402910])  # R2 sequence
     rot = (frame_count.astype(jnp.float32) * g + dim * 0.38196601) % 1.0
@@ -133,9 +140,11 @@ def render_frame(scene: SceneBuffers, state: RenderState,
                                width, height, dim=0)
         nee_uv = blue_noise_uv(state.noise_tex, state.frame_count,
                                width, height, dim=1)
-    sample, gb = trace_paths(scene, cam_to_world, width, height, k_frame,
-                             bounces=bounces, vfov=vfov, nee=nee,
-                             jitter=jitter, nee_uv=nee_uv)
+    sample, gb = trace_paths(
+        scene, cam_to_world, width, height, k_frame,
+        bounces=bounces, vfov=vfov, nee=nee, jitter=jitter, nee_uv=nee_uv,
+        noise_tex=state.noise_tex if use_noise else None,
+        frame_count=state.frame_count if use_noise else None)
     img = sample.reshape(height, width, 3)
 
     # Motion vectors: previous-frame screen uv minus current pixel uv
