@@ -69,7 +69,15 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     the pure-numpy path below is the verified reference implementation.
     """
     T = v0.shape[0]
-    assert T > 0, "empty BVH"
+    if T == 0:
+        from ..errors import AccelBuild
+
+        raise AccelBuild("cannot build a BVH over zero triangles")
+    if not (np.isfinite(v0).all() and np.isfinite(v1).all()
+            and np.isfinite(v2).all()):
+        from ..errors import AccelBuild
+
+        raise AccelBuild("non-finite vertex positions in BVH input")
     if use_native and os.environ.get("LOUPIOTE_NO_NATIVE") != "1":
         from .native import build_bvh_native
 

@@ -139,12 +139,19 @@ class Driver:
         return out
 
     def save_screenshot(self, path: str) -> None:
-        """PNG screenshot (app.rs:172-187, renderer.rs:727-811)."""
+        """PNG screenshot at window resolution (app.rs:172-187,
+        renderer.rs:727-811)."""
         from PIL import Image
 
         rgba = np.frombuffer(self.renderer.read_pixels(), np.uint8)
-        w, h = self.renderer.get_size()
-        Image.fromarray(rgba.reshape(h, w, 4)).save(path)
+        w, h = self.renderer.window_size
+        try:
+            Image.fromarray(rgba.reshape(h, w, 4)).save(path)
+        except OSError as e:
+            from ..errors import TextureToBufferReadFail
+
+            raise TextureToBufferReadFail(
+                f"screenshot write failed: {path}: {e}") from e
 
     @property
     def fps(self) -> float:

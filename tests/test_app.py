@@ -85,7 +85,9 @@ def test_screenshot(tmp_path, driver):
     from PIL import Image
 
     img = np.asarray(Image.open(out))
-    w, h = driver.renderer.get_size()
+    # Window resolution, not the 0.5x internal render size
+    # (renderer.rs:727-811 readback parity).
+    w, h = driver.renderer.window_size
     assert img.shape == (h, w, 4)
 
 
@@ -152,3 +154,30 @@ def test_checkpoint_roundtrip_orbax(tmp_path, driver):
     np.testing.assert_array_equal(np.asarray(d2.renderer.state.accum), before)
     assert int(d2.renderer.state.frame_count) == fc
     driver.settings.accumulate = False
+
+
+def test_typed_error_paths(driver, tmp_path):
+    """The reference's Error variants actually fire here
+    (errors.rs:1-20): AccelBuild on bad geometry,
+    TextureToBufferReadFail on readback-write failure."""
+    import numpy as np
+
+    from loupiote_tpu.accel.bvh import build_bvh
+    from loupiote_tpu.errors import AccelBuild, TextureToBufferReadFail
+
+    with pytest.raises(AccelBuild):
+        build_bvh(np.full((1, 3), np.nan, np.float32),
+                  np.zeros((1, 3), np.float32),
+                  np.zeros((1, 3), np.float32))
+    with pytest.raises(TextureToBufferReadFail):
+        driver.save_screenshot(str(tmp_path / "no_dir" / "x" / "shot.png"))
+
+
+def test_screenshot_at_window_resolution(driver, tmp_path):
+    """Screenshots are written at WINDOW resolution even when the internal
+    render runs at 0.5x (renderer.rs:727-811 readback parity)."""
+    from PIL import Image
+
+    p = str(tmp_path / "shot.png")
+    driver.save_screenshot(p)
+    assert Image.open(p).size == tuple(driver.renderer.window_size)
