@@ -379,249 +379,6 @@ def _wide_trace(trav_rows, ox, oy, oz, dx, dy, dz, t0, act,
     return t, tri
 
 
-def _shadow_mt(rs, ray, mask_col, blocked):
-    """Division-free any-hit Moller-Trumbore over each row's leaf.
-
-    Shadow rays need ONE bit per lane, so the test runs on det-scaled
-    barycentrics with sign folding (no reciprocal, no best-t/u/v/tri
-    bookkeeping): hit iff s*u' >= 0, s*v' >= 0, s*(u'+v') <= |det|,
-    and T_MIN*|det| < s*t' < tmax*|det| where s = sign(det).
-    """
-    (ox, oy, oz, dx, dy, dz, _, _, _, t0, act) = ray
-    fc = lax.bitcast_convert_type(rs[:, 126:127], jnp.int32)
-    lcount = fc & 15
-
-    lane_ok = (act > 0) & (_bc(mask_col) > 0) & (blocked == 0)
-    new_blocked = jnp.zeros((SUB, SUBP), jnp.int32)
-    for k in range(LEAF_CAP):
-        b = 9 * k
-        p0x, p0y, p0z = (_bc(rs[:, b + i:b + i + 1]) for i in range(3))
-        e1x, e1y, e1z = (_bc(rs[:, b + i:b + i + 1]) for i in range(3, 6))
-        e2x, e2y, e2z = (_bc(rs[:, b + i:b + i + 1]) for i in range(6, 9))
-
-        pvx = dy * e2z - dz * e2y
-        pvy = dz * e2x - dx * e2z
-        pvz = dx * e2y - dy * e2x
-        det = e1x * pvx + e1y * pvy + e1z * pvz
-        s = jnp.where(det >= 0.0, 1.0, -1.0)
-        adet = det * s
-        tvx = ox - p0x
-        tvy = oy - p0y
-        tvz = oz - p0z
-        su = (tvx * pvx + tvy * pvy + tvz * pvz) * s
-        qvx = tvy * e1z - tvz * e1y
-        qvy = tvz * e1x - tvx * e1z
-        qvz = tvx * e1y - tvy * e1x
-        sv = (dx * qvx + dy * qvy + dz * qvz) * s
-        st = (e2x * qvx + e2y * qvy + e2z * qvz) * s
-
-        valid = _bc((k < lcount).astype(jnp.int32)) > 0
-        ok = (valid & lane_ok & (adet > 1e-12)
-              & (su >= 0.0) & (sv >= 0.0) & (su + sv <= adet)
-              & (st > T_MIN * adet) & (st < t0 * adet))
-        new_blocked = jnp.maximum(new_blocked, ok.astype(jnp.int32))
-    return jnp.maximum(blocked, new_blocked)
-
-
-def _shadow_kernel(rows_ref,
-                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t0_ref,
-                   act_ref, blk_out,
-                   *, end_index: int, max_steps: int, stack_size: int,
-                   flush_fill: int = 6):
-    """Any-hit specialization of ``_wide_kernel``: one blocked bit per lane,
-    index-order descent (no pairwise tnear ranks), no u/v/t state, and a
-    division-free leaf test. Shadow waves are ~45% of frame intersection
-    cost (BENCH_r02), so the ~1/3 lighter step pays for the extra kernel."""
-    END = jnp.int32(end_index)
-    lane_s = lax.broadcasted_iota(jnp.int32, (SUB, stack_size), 1)
-    c_iota = lax.broadcasted_iota(jnp.int32, (SUB, WIDTH), 1)
-
-    def safe_inv(d):
-        return 1.0 / jnp.where(jnp.abs(d) > 1e-20, d,
-                               jnp.where(d >= 0, 1e-20, -1e-20))
-
-    ox, oy, oz = ox_ref[0, 0], oy_ref[0, 0], oz_ref[0, 0]
-    dx, dy, dz = dx_ref[0, 0], dy_ref[0, 0], dz_ref[0, 0]
-    act = act_ref[0, 0]
-    t0 = t0_ref[0, 0]
-    ray = (ox, oy, oz, dx, dy, dz,
-           safe_inv(dx), safe_inv(dy), safe_inv(dz), t0, act)
-    ix, iy, iz = ray[6], ray[7], ray[8]
-    blk_out[0, 0] = jnp.zeros((SUB, SUBP), jnp.int32)
-
-    def _bw(col):  # (8,1) -> (8,WIDTH)
-        return jax.lax.broadcast_in_dim(col, (SUB, WIDTH), (0, 1))
-
-    def body(carry):
-        (steps, cur, ptr, done, stack, pend) = carry
-        blk_ref = blk_out.at[0, 0]
-
-        live = 1 - done
-        leafbit = (cur >> 30) & 1
-        retire = (cur == END).astype(jnp.int32)
-        occ = (pend >= 0).astype(jnp.int32)
-        stall = occ * jnp.minimum(leafbit + retire, 1) * live
-        flush = jnp.logical_or(jnp.sum(stall) > 0,
-                               jnp.sum(occ * live) >= flush_fill)
-
-        @pl.when(flush)
-        def _():
-            rows2 = jnp.concatenate(
-                [rows_ref[pl.ds(jnp.maximum(pend[s, 0], 0), 1), :]
-                 for s in range(SUB)], axis=0)
-            blk_ref[...] = _shadow_mt(rows2, ray, occ, blk_ref[...])
-
-        pend1 = jnp.where(flush, -1, pend)
-        take = (leafbit * live) > 0
-        pend_new = jnp.where(take & (pend1 < 0), cur & LEAF_MASK, pend1)
-
-        blocked = blk_ref[...]
-        lane_act = (act > 0) & (_bc(done) == 0) & (blocked == 0)
-        is_node = live * (1 - leafbit) * (1 - retire)
-        fetch_idx = [jnp.where((leafbit[s, 0] > 0) | (done[s, 0] > 0),
-                               0, jnp.minimum(cur[s, 0], END))
-                     for s in range(SUB)]
-        rs = jnp.concatenate(
-            [rows_ref[pl.ds(fetch_idx[s], 1), :] for s in range(SUB)],
-            axis=0)
-
-        node_lane = lane_act & (_bc(is_node) > 0)
-        hits, ptrs = [], []
-        for ci in range(WIDTH):
-            b = 16 * ci
-            bminx, bminy, bminz = (_bc(rs[:, b + i:b + i + 1])
-                                   for i in range(3))
-            bmaxx, bmaxy, bmaxz = (_bc(rs[:, b + i:b + i + 1])
-                                   for i in range(3, 6))
-            cptr = lax.bitcast_convert_type(rs[:, b + 6:b + 7], jnp.int32)
-            t1x = (bminx - ox) * ix
-            t2x = (bmaxx - ox) * ix
-            t1y = (bminy - oy) * iy
-            t2y = (bmaxy - oy) * iy
-            t1z = (bminz - oz) * iz
-            t2z = (bmaxz - oz) * iz
-            tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
-                                         jnp.minimum(t1y, t2y)),
-                             jnp.minimum(t1z, t2z))
-            tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
-                                         jnp.maximum(t1y, t2y)),
-                             jnp.maximum(t1z, t2z))
-            rhit = (tf >= jnp.maximum(tn, 0.0)) & (tn < t0) & node_lane
-            chit = (jnp.max(jnp.where(rhit, 1, 0), axis=1, keepdims=True)
-                    * (cptr != -1)).astype(jnp.int32)
-            hits.append(chit)
-            ptrs.append(cptr)
-        H = jnp.concatenate(hits, axis=1)  # (8,8)
-        P = jnp.concatenate(ptrs, axis=1)
-
-        # Index-order ranks via prefix sum (no tnear comparisons).
-        rank_all = jnp.zeros((SUB, WIDTH), jnp.int32)
-        for cp in range(1, WIDTH):
-            rank_all = rank_all + ((c_iota >= cp).astype(jnp.int32)
-                                   * _bw(H[:, cp - 1:cp]))
-
-        leafc = ((P >> 30) & 1) * H
-        HI = H * (1 - ((P >> 30) & 1))
-        n_int = _rowsum(HI)
-        descend = (n_int > 0).astype(jnp.int32) * is_node
-
-        minL = jnp.min(jnp.where(leafc > 0, rank_all, WIDTH), axis=1,
-                       keepdims=True)
-        selL0 = leafc * (rank_all == _bw(minL)).astype(jnp.int32)
-        enq = ((_rowsum(leafc) > 0) & (pend_new < 0)
-               & (is_node > 0)).astype(jnp.int32)
-        enq_ptr = _rowsum(selL0 * P) & LEAF_MASK
-        pend_new = jnp.where(enq > 0, enq_ptr, pend_new)
-
-        minI = jnp.min(jnp.where(HI > 0, rank_all, WIDTH), axis=1,
-                       keepdims=True)
-        sel0 = HI * (rank_all == _bw(minI)).astype(jnp.int32)
-        near_ptr = _rowsum(sel0 * P)
-
-        pushable = (H - sel0 * _bw(descend) - selL0 * _bw(enq)) * _bw(is_node)
-        rank = (rank_all
-                - (_bw(descend * minI) < rank_all).astype(jnp.int32)
-                * _bw(descend)
-                - (_bw(enq * minL + (1 - enq) * WIDTH) < rank_all
-                   ).astype(jnp.int32))
-        npush = _rowsum(pushable)
-        pos_c = _bw(ptr) + _bw(npush) - 1 - rank
-        delta = jnp.zeros((SUB, stack_size), jnp.int32)
-        written = jnp.zeros((SUB, stack_size), jnp.int32)
-        for ci in range(WIDTH):
-            onehot = ((lane_s == jax.lax.broadcast_in_dim(
-                pos_c[:, ci:ci + 1], (SUB, stack_size), (0, 1)))
-                & (jax.lax.broadcast_in_dim(
-                    pushable[:, ci:ci + 1], (SUB, stack_size), (0, 1)) > 0)
-            ).astype(jnp.int32)
-            delta = delta + onehot * jax.lax.broadcast_in_dim(
-                P[:, ci:ci + 1], (SUB, stack_size), (0, 1))
-            written = written + onehot
-        new_stack = stack * (1 - written) + delta
-        pos = ptr + npush
-
-        can_pop = (pos > 0).astype(jnp.int32)
-        top = jax.lax.broadcast_in_dim(jnp.maximum(pos - 1, 0),
-                                       (SUB, stack_size), (0, 1))
-        popped = _rowsum(jnp.where(lane_s == top, new_stack, 0))
-        nxt = jnp.where(descend > 0, near_ptr,
-                        jnp.where(can_pop > 0, popped, END))
-        new_ptr = jnp.where(descend > 0, pos, jnp.maximum(pos - 1, 0))
-
-        retiring = ((nxt & LEAF_MASK) >= END)
-        n_blocked = _rowsum(jnp.maximum(blocked, 1 - act))
-        fin = ((done > 0) | (retiring & (pend_new < 0))
-               | ((n_blocked >= SUBP) & (pend_new < 0))).astype(jnp.int32)
-        park = jnp.where(retiring, END, nxt)
-        new_cur = (1 - fin) * park
-        return (steps + 1, new_cur, new_ptr, fin, new_stack, pend_new)
-
-    def cond(carry):
-        steps, _, _, done, _, _ = carry
-        return jnp.logical_and(jnp.sum(done) < SUB, steps < max_steps)
-
-    init = (jnp.int32(0),
-            jnp.zeros((SUB, 1), jnp.int32),
-            jnp.zeros((SUB, 1), jnp.int32),
-            (jnp.sum(act, axis=1, keepdims=True) == 0).astype(jnp.int32),
-            jnp.zeros((SUB, stack_size), jnp.int32),
-            jnp.full((SUB, 1), -1, jnp.int32))
-    lax.while_loop(cond, body, init)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("end_index", "interpret", "stack_size",
-                                    "max_steps", "flush_fill"))
-def _shadow_trace(trav_rows, ox, oy, oz, dx, dy, dz, t0, act,
-                  *, end_index: int, max_steps: int,
-                  interpret: bool = False, stack_size: int = 64,
-                  flush_fill: int = 6):
-    G = ox.shape[0]
-    kernel = functools.partial(_shadow_kernel, end_index=end_index,
-                               max_steps=max_steps, stack_size=stack_size,
-                               flush_fill=flush_fill)
-    grid_spec = pl.GridSpec(
-        grid=(G,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # trav_rows (whole)
-        ] + [pl.BlockSpec((1, 1, SUB, SUBP), lambda g: (g, 0, 0, 0),
-                          memory_space=pltpu.VMEM)] * 8,
-        out_specs=[pl.BlockSpec((1, 1, SUB, SUBP), lambda g: (g, 0, 0, 0),
-                                memory_space=pltpu.VMEM)],
-    )
-    blk, = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((G, 1, SUB, SUBP), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=interpret,
-    )(trav_rows, ox, oy, oz, dx, dy, dz, t0, act)
-    return blk
-
-
 def intersect_wide(scene, ro, rd, tmax=None, active=None,
                    any_hit: bool = False, interpret: bool = False) -> Hit:
     """Hit-compatible wrapper over the wide-BVH traversal kernel.
@@ -668,27 +425,17 @@ def intersect_wide(scene, ro, rd, tmax=None, active=None,
 
 def occluded_wide(scene, ro, rd, tmax, active=None,
                   interpret: bool = False) -> jnp.ndarray:
-    """(R,) bool: segment [T_MIN, tmax) blocked — specialized shadow kernel
-    (``_shadow_kernel``: blocked-bit state, index-order descent,
-    division-free leaf test)."""
-    R = ro.shape[0]
-    assert R % TILE == 0, f"ray count {R} must be a multiple of {TILE}"
-    G = R // TILE
+    """(R,) bool: segment [T_MIN, tmax) blocked — wide any-hit variant.
 
-    def shape(x):
-        return x.reshape(G, 1, SUB, SUBP)
-
-    act = (jnp.ones(R, jnp.int32) if active is None
-           else active.astype(jnp.int32))
-    blk = _shadow_trace(
-        scene.trav_rows,
-        shape(ro[:, 0]), shape(ro[:, 1]), shape(ro[:, 2]),
-        shape(rd[:, 0]), shape(rd[:, 1]), shape(rd[:, 2]),
-        shape(tmax), shape(act),
-        end_index=int(scene.wide_end),
-        max_steps=4 * int(scene.wide_end) + 64,
-        interpret=interpret, stack_size=int(scene.wide_stack))
-    out = blk.reshape(R) > 0
+    A dedicated shadow kernel (blocked-bit state, division-free sign-folded
+    leaf test, boolean child reduce) was built and A/B-measured in round 3:
+    it ran ~6x SLOWER than this generic kernel in any-hit mode on the
+    arch-260k shadow wave (interleaved runs, experiments/shadow_bench.py)
+    despite strictly fewer vector ops per step — removed; see ROADMAP.
+    """
+    hit = intersect_wide(scene, ro, rd, tmax=tmax, active=active,
+                         any_hit=True, interpret=interpret)
+    out = hit.tri > 0
     if active is not None:
         out = out & active
     return out
