@@ -17,10 +17,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# CLI entry points enable the persistent compilation cache; inside the test
-# process that cache is shared with concurrent TPU runs and a corrupt entry
-# segfaults deserialization (observed). Tests never want it.
-jax.config.update("jax_enable_compilation_cache", False)
+# Round 2 disabled the persistent cache because SHARING the TPU cache dir
+# with concurrent tunnel runs corrupted entries (segfault on deserialize).
+# Round 3: tests get their OWN cache dir — the suite's dominant cost is
+# XLA:CPU compiles of the big sharded-frame programs (~6 min/run), which
+# this drops to near zero on re-runs of unchanged code.
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/.cache/jax_cpu_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

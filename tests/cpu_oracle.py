@@ -148,10 +148,19 @@ def trace_oracle(bufs, cam_to_world, width, height, vfov, spp, bounces,
                          np.arange(width, dtype=np.float64), indexing="ij")
     out = np.zeros((R, 3))
 
-    for _ in range(spp):
-        jit = rng.random((R, 2))
-        px = xx.reshape(-1) + jit[:, 0]
-        py = yy.reshape(-1) + jit[:, 1]
+    # spp are batched in chunks of rays (the loop body is already
+    # vectorized over rays, so tiling pixels x chunk makes the numpy oracle
+    # ~20x faster at identical statistics).
+    chunk = max(1, 2_000_000 // max(R * bufs.num_tris // 34, R))
+    chunk = min(chunk, 50)
+    sdone = 0
+    while sdone < spp:
+        c = min(chunk, spp - sdone)
+        sdone += c
+        Rc = R * c
+        jit = rng.random((Rc, 2))
+        px = np.tile(xx.reshape(-1), c) + jit[:, 0]
+        py = np.tile(yy.reshape(-1), c) + jit[:, 1]
         ndc_x = (px / width) * 2 - 1
         ndc_y = 1 - (py / height) * 2
         rd = (right[None] * (ndc_x * th * aspect)[:, None]
@@ -159,9 +168,9 @@ def trace_oracle(bufs, cam_to_world, width, height, vfov, spp, bounces,
         rd /= np.linalg.norm(rd, axis=1, keepdims=True)
         ro = np.broadcast_to(orig, rd.shape).copy()
 
-        tp = np.ones((R, 3))
-        rad = np.zeros((R, 3))
-        alive = np.ones(R, bool)
+        tp = np.ones((Rc, 3))
+        rad = np.zeros((Rc, 3))
+        alive = np.ones(Rc, bool)
         for _b in range(bounces):
             t, tri, u, v = _intersect_brute(p0, e1, e2, ro, rd)
             hit = (tri >= 0) & alive
@@ -189,9 +198,9 @@ def trace_oracle(bufs, cam_to_world, width, height, vfov, spp, bounces,
 
             # NEE at every vertex, full weight (continuation rays never
             # collect light emission, so no double count).
-            li = rng.integers(0, nl, R)
-            q = (l_o[li] + l_u[li] * rng.random(R)[:, None]
-                 + l_v[li] * rng.random(R)[:, None])
+            li = rng.integers(0, nl, Rc)
+            q = (l_o[li] + l_u[li] * rng.random(Rc)[:, None]
+                 + l_v[li] * rng.random(Rc)[:, None])
             lnrm = np.cross(l_u[li], l_v[li])
             area = np.linalg.norm(lnrm, axis=1)
             lnrm /= np.maximum(area[:, None], 1e-12)
@@ -209,7 +218,7 @@ def trace_oracle(bufs, cam_to_world, width, height, vfov, spp, bounces,
             rad += np.where((cand & ~blocked)[:, None], contrib, 0)
 
             # Continuation: cosine hemisphere around the shading normal.
-            u1, u2 = rng.random(R), rng.random(R)
+            u1, u2 = rng.random(Rc), rng.random(Rc)
             r_ = np.sqrt(u1)
             phi = 2 * np.pi * u2
             local = np.stack([r_ * np.cos(phi), r_ * np.sin(phi),
@@ -232,7 +241,7 @@ def trace_oracle(bufs, cam_to_world, width, height, vfov, spp, bounces,
             ro = np.where(ok[:, None], pos + ng * EPS, ro)
             rd = np.where(ok[:, None], wi_c, rd)
             alive = ok
-        out += rad
+        out += rad.reshape(c, R, 3).sum(0)
     return (out / spp).reshape(height, width, 3)
 
 

