@@ -85,6 +85,51 @@ def probe_body(name):
         def step(x, i):
             xt = x.T  # (128, 8)
             return x + (xt.T) * 1e-7 + i.astype(jnp.float32) * 1e-9
+    elif name == "selmerge":
+        # Lane-group field broadcast, option C (8-wide rows, G=4):
+        # 56 fields x (4 broadcasts + 3 group-mask selects). Models the
+        # per-step extra cost of 4x32 lane-group sub-packets without a row
+        # layout change.
+        def step(x, i):
+            lane = lax.broadcasted_iota(jnp.int32, (SUB, SUBP), 1)
+            grp = lane >> 5
+            xs = [x, x * 1.0000001, x * 1.0000002, x * 1.0000003]
+            acc = x * 0.0
+            for f in range(56):
+                p = (f * 2) & 127
+                cols = [lax.broadcast_in_dim(xs[g][:, p:p + 1],
+                                             (SUB, SUBP), (0, 1))
+                        for g in range(4)]
+                v = cols[0]
+                for g in range(1, 4):
+                    v = jnp.where(grp == g, cols[g], v)
+                acc = acc + v
+            return x + acc * 1e-9 + i.astype(jnp.float32) * 1e-9
+    elif name == "cgather28":
+        # Lane-group option A (4-wide compact rows): 28 constant-index-map
+        # take_along_axis gathers from one merged register.
+        def step(x, i):
+            lane = lax.broadcasted_iota(jnp.int32, (SUB, SUBP), 1)
+            base = lane & ~jnp.int32(31)
+            acc = x * 0.0
+            for f in range(28):
+                acc = acc + jnp.take_along_axis(x, base + f, axis=1)
+            return x + acc * 1e-9 + i.astype(jnp.float32) * 1e-9
+    elif name == "roll":
+        # pltpu dynamic lane roll (rotated fetch alignment for option A).
+        def step(x, i):
+            sh = i & 127
+            return x + pltpu.roll(x, sh, 1) * 1e-7
+    elif name == "segmin":
+        # Per-group (32-lane segment) min + broadcast back: 5 halving
+        # shifted-min rounds via constant-map gathers + 1 seg broadcast.
+        def step(x, i):
+            lane = lax.broadcasted_iota(jnp.int32, (SUB, SUBP), 1)
+            m = x + i.astype(jnp.float32) * 1e-9
+            for sft in (1, 2, 4, 8, 16):
+                idx = (lane & ~jnp.int32(31)) | ((lane + sft) & 31)
+                m = jnp.minimum(m, jnp.take_along_axis(m, idx, axis=1))
+            return x + m * 1e-9
     else:
         raise SystemExit(f"unknown probe {name}")
     return step
@@ -224,7 +269,101 @@ def run_chunked_sort_probe():
               flush=True)
 
 
+def run_perm_probe():
+    """Applying a KNOWN permutation at wave scale: scatter (x.at[pos].set)
+    vs gather (x[inv]) vs sort_key_val on the position key. If any of these
+    beats the 672ms argsort, the MXU counting-rank regroup (one-hot f32
+    matmuls + cumsum produce positions without sorting) unlocks the
+    treelet pipeline's phase 2."""
+    jax = _setup()
+    import jax.numpy as jnp
+    from jax import lax
+
+    for n in (2_000_000, 8_388_608):
+        rng = np.random.default_rng(0)
+        pos = rng.permutation(n).astype(jnp.int32)
+        vals = np.arange(n, dtype=np.int32)
+
+        fns = {
+            "scatter": jax.jit(lambda p, v: jnp.zeros_like(v).at[p].set(
+                v, unique_indices=True, mode="drop")),
+            "gather": jax.jit(lambda p, v: v[p]),
+            "sortkv": jax.jit(lambda p, v: lax.sort((p, v), num_keys=1)[1]),
+        }
+        for name, f in fns.items():
+            best = float("inf")
+            try:
+                for i in range(4):
+                    pj = jnp.asarray(pos)
+                    vj = jnp.asarray(vals ^ (i + 1))
+                    t0 = time.time()
+                    o = f(pj, vj)
+                    jax.block_until_ready(o)
+                    r = jax.tree_util.tree_leaves(o)[0]
+                    np.asarray(r.reshape(-1)[:4])
+                    if i:
+                        best = min(best, time.time() - t0)
+                print(f"PROBE perm {name} n={n}: {best*1e3:.0f} ms",
+                      flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"PROBE perm {name} n={n}: FAILED {e}", flush=True)
+
+
+def run_rank_probe():
+    """MXU counting-rank glue cost: per-1024-chunk one-hot(64) f32 matmuls
+    (strict-tril ranks + histogram), chunk-base cumsum, and position
+    assembly — everything EXCEPT the final permutation apply."""
+    jax = _setup()
+    import jax.numpy as jnp
+    import numpy as _np
+
+    n = 8_388_608
+    C = 1024
+    B = 64
+    keys = _np.random.default_rng(0).integers(0, B, n).astype(_np.int32)
+    tril = _np.tril(_np.ones((C, C), _np.float32), k=-1)
+
+    @jax.jit
+    def positions(k):
+        k2 = k.reshape(-1, C)  # (nc, C)
+        oh = jax.nn.one_hot(k2, B, dtype=jnp.float32)  # (nc, C, B)
+        ranks = jnp.einsum("ij,njb->nib", tril, oh,
+                           preferred_element_type=jnp.float32)
+        hist = oh.sum(axis=1)  # (nc, B)
+        base = jnp.cumsum(hist, axis=0) - hist  # exclusive over chunks
+        tot = hist.sum(axis=0)
+        gbase = jnp.cumsum(tot) - tot  # (B,)
+        pos = (jnp.take_along_axis(
+            ranks, k2[:, :, None], axis=2)[:, :, 0]
+            + jnp.take_along_axis(base + gbase[None, :],
+                                  k2, axis=1))
+        return pos.reshape(-1).astype(jnp.int32)
+
+    kj = jnp.asarray(keys)
+    o = positions(kj)
+    jax.block_until_ready(o)
+    np.asarray(o[:4])
+    best = float("inf")
+    for i in range(4):
+        kj = jnp.asarray(_np.roll(keys, i + 1))
+        t0 = time.time()
+        o = positions(kj)
+        jax.block_until_ready(o)
+        np.asarray(o[:4])
+        best = min(best, time.time() - t0)
+    # Sanity: positions must be a permutation.
+    chk = np.sort(np.asarray(positions(jnp.asarray(keys))))
+    ok = bool((chk == np.arange(n)).all())
+    print(f"PROBE rank64 n={n}: {best*1e3:.0f} ms perm_ok={ok}", flush=True)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "perm":
+        run_perm_probe()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "rank":
+        run_rank_probe()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "sort":
         run_sort_probe()
         return

@@ -78,7 +78,7 @@ def build_top_tables(bvh, top_wide: int | None = None) -> TopTables:
         stack = [n2]
         while stack:
             m = stack.pop()
-            if m != n2 and (is_leaf[m]
+            if m != n2 and (is_leaf[m] or m in leaf_row_of
                             or (m in wide_of and wide_of[m] != w)):
                 continue
             if in_top[m]:
@@ -120,7 +120,8 @@ def build_top_tables(bvh, top_wide: int | None = None) -> TopTables:
         return remap.get(t, ID_MASK) if t < N else ID_MASK
 
     def row_of(n2: int) -> int:
-        if is_leaf[n2]:
+        # Merged-leaf roots (DP collapse) may be internal BVH2 nodes.
+        if n2 in leaf_row_of:
             return (W + leaf_row_of[n2]) | LEAF_TAG
         return wide_of[n2]
 

@@ -208,4 +208,9 @@ def render_frame_sharded(scene, state, cam_to_world, world_to_screen,
         new["asvgf_history"] = t.history
         new["temporal_rgb"] = modulate(t.illum, curr_albedo)
 
+    disp = new.get("denoised",
+                   new.get("temporal_rgb", new.get("accum", state.accum)))
+    new["probe"] = jnp.stack([
+        img[0, 0, 0], img[height // 2, width // 2, 1],
+        disp[0, 0, 2], disp[height // 2, width // 2, 0]])
     return state.replace(**new)

@@ -55,6 +55,11 @@ class RenderState:
     asvgf_history: jnp.ndarray  # (H, W)
     denoised: jnp.ndarray  # (H, W, 3) last denoiser output
     temporal_rgb: jnp.ndarray  # (H, W, 3) temporal-pass debug output
+    # (4,) completion probe derived from the frame's outputs: fencing a
+    # frame costs a 16-byte D2H instead of a full-image transfer or an
+    # extra status round trip (the tunneled backend charges ~25-55 ms per
+    # synchronous round trip — see bench.py header).
+    probe: jnp.ndarray = None
 
 
 def _init_state(width: int, height: int, seed: int = 0) -> RenderState:
@@ -75,6 +80,7 @@ def _init_state(width: int, height: int, seed: int = 0) -> RenderState:
         asvgf_history=jnp.zeros((h, w), jnp.float32),
         denoised=jnp.zeros((h, w, 3), jnp.float32),
         temporal_rgb=jnp.zeros((h, w, 3), jnp.float32),
+        probe=jnp.zeros(4, jnp.float32),
     )
 
 
@@ -200,6 +206,11 @@ def render_frame(scene: SceneBuffers, state: RenderState,
         new["asvgf_history"] = t.history
         new["temporal_rgb"] = modulate(t.illum, curr_albedo)
 
+    disp = new.get("denoised",
+                   new.get("temporal_rgb", new.get("accum", state.accum)))
+    new["probe"] = jnp.stack([
+        img[0, 0, 0], img[height // 2, width // 2, 1],
+        disp[0, 0, 2], disp[height // 2, width // 2, 0]])
     return state.replace(**new)
 
 

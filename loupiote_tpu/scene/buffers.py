@@ -436,7 +436,8 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
         wide_stack=int(wide_stack),
         treelet=treelet_dev,
         num_leaves=L,
-        leaf_cap=int(bvh.count.max()) if bvh.count.size else 1,
+        leaf_cap=int(max(bvh.count.max() if bvh.count.size else 1,
+                         wide.leaf_row_max)),
         tri_shade=jnp.asarray(tri_shade),
         mat_pack=jnp.asarray(mat_pack),
         num_tris=T,
