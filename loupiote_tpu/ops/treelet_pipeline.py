@@ -123,6 +123,10 @@ def _treelet_core(top_fields, sub_fields, sub_tri_base, ro, rd, t0, act,
     ray_of = jnp.zeros(P_pad + 1, jnp.int32).at[dest0.reshape(-1)].set(
         jnp.repeat(jnp.arange(R, dtype=jnp.int32)[:, None], PEND_CAP,
                    axis=1).reshape(-1))[:P_pad]
+    # This lax.sort is the pipeline's dominant cost at wave scale
+    # (~1.6 s best case at 8.4M pairs) and the reason the pipeline stays
+    # opt-in. The Pallas bitonic sort (ops/device_sort.py) was built to
+    # replace it and measured SLOWER (5.4 s same window) — see its header.
     key_s, ray_s = jax.lax.sort((key, ray_of), num_keys=1)
 
     # Rank within each contiguous key run (keys are sorted: one run per
