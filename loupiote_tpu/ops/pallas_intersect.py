@@ -36,10 +36,23 @@ SUBP = 128  # rays per sub-packet (lanes)
 TILE = SUB * SUBP
 STACK = 64
 LEAF_CAP = 14
+BIG = 3e30
 
 def _bc(col):
     """(8,1) -> (8,128) lane broadcast."""
     return jax.lax.broadcast_in_dim(col, (SUB, SUBP), (0, 1))
+
+
+def _tree(fold, xs):
+    """Balanced-tree fold — serial accumulation chains are critical-path
+    latency in these latency-bound loops (see ops/pallas_wide.py)."""
+    xs = list(xs)
+    while len(xs) > 1:
+        nxt = [fold(xs[i], xs[i + 1]) for i in range(0, len(xs) - 1, 2)]
+        if len(xs) % 2:
+            nxt.append(xs[-1])
+        xs = nxt
+    return xs[0]
 
 
 def _traverse_kernel(node_ref, leaf_ref,
@@ -124,8 +137,7 @@ def _traverse_kernel(node_ref, leaf_ref,
             axis=0)  # (8, 128)
         gfirst = slot9  # (8,1) global first tri (valid for leaves)
 
-        new_t, new_u, new_v, new_tri = t, u, v, tri
-        new_blocked = blocked
+        cands = []
         for k in range(leaf_cap):
             base = 9 * k
             p0x = _bc(lrows[:, base + 0: base + 1])
@@ -156,13 +168,26 @@ def _traverse_kernel(node_ref, leaf_ref,
             valid_i = do_leaf_i * (k < count).astype(jnp.int32)  # (8,1)
             ok = ((_bc(valid_i) > 0) & ray_hit
                   & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                  & (tt > T_MIN) & (tt < new_t))
-            new_t = jnp.where(ok, tt, new_t)
-            new_u = jnp.where(ok, uu, new_u)
-            new_v = jnp.where(ok, vv, new_v)
-            new_tri = jnp.where(ok, _bc(gfirst) + k, new_tri)
-            if any_hit:
-                new_blocked = jnp.maximum(new_blocked, ok.astype(jnp.int32))
+                  & (tt > T_MIN) & (tt < t))
+            cands.append((jnp.where(ok, tt, BIG), uu, vv,
+                          _bc(gfirst) + k))
+
+        # Tree-reduce the candidates (the serial select chain was
+        # 4*leaf_cap dependent ops on the critical path); strict-< fold
+        # keeps the earlier triangle on exact ties, matching the
+        # sequential update order.
+        def fold(a, b):
+            tb = b[0] < a[0]
+            return tuple(jnp.where(tb, y, x) for x, y in zip(a, b))
+
+        ct, cu, cv, ctri = _tree(fold, cands)
+        upd = ct < t
+        new_t = jnp.where(upd, ct, t)
+        new_u = jnp.where(upd, cu, u)
+        new_v = jnp.where(upd, cv, v)
+        new_tri = jnp.where(upd, ctri, tri)
+        new_blocked = (jnp.maximum(blocked, upd.astype(jnp.int32))
+                       if any_hit else blocked)
 
         # --- per-sub-packet scalar control (int32 mask arithmetic).
         descend_i = hit_any_i * (1 - is_leaf_i)  # (8,1)
@@ -290,7 +315,7 @@ def _anyhit_kernel(node_ref, leaf_ref,
             [leaf_ref[pl.ds(leaf_row_idx[s, 0], 1), :] for s in range(SUB)],
             axis=0)
 
-        new_blocked = blocked
+        oks = []
         for k in range(leaf_cap):
             base = 9 * k
             p0x = _bc(lrows[:, base + 0: base + 1])
@@ -322,7 +347,8 @@ def _anyhit_kernel(node_ref, leaf_ref,
             ok = ((_bc(valid_i) > 0) & ray_hit
                   & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                   & (tt > T_MIN) & (tt < t0))
-            new_blocked = jnp.maximum(new_blocked, ok.astype(jnp.int32))
+            oks.append(ok.astype(jnp.int32))
+        new_blocked = jnp.maximum(blocked, _tree(jnp.maximum, oks))
 
         # Stackless, fully vectorized control: descend or follow miss link.
         descend_i = hit_any_i * (1 - is_leaf_i)  # (8,1)

@@ -1,9 +1,15 @@
 """Pallas TPU wide-BVH (8-ary) traversal kernel with deferred leaf batching.
 
-Measured cost model (experiments/kernel_probe.py on a v5e chip): the
-traversal loop is VPU-op-count bound at ~1.2us/step, with the 14-triangle
-Moller-Trumbore leaf unroll accounting for ~60% of the step's vector ops
-while only ~30% of steps visit a leaf. Design response:
+Measured cost model (REVISED round 3, experiments/{order_ab,flush_census,
+sub_ab,stack_ab}.py on a v5e chip): the per-step cost is STRUCTURAL, not
+compute — duplicating the MT math costs +3%, duplicating the dynamic row
+fetches (un-CSE-able variant) +0%, removing the rank matrix +0%, and the
+vector->scalar extract count barely matters. What does move the needle:
+rows per grid cell (fixed per-step overhead amortizes: 342 -> 269 ns/ray
+from sub 8 -> 32, hence DEFAULT_SUB), flushing without a branch, and
+unrolling the while body (each a few %%). The round-2 "VPU-op-bound at
+~1.2us/step" model is dead; spend ops freely, fight steps and loop
+structure. Design response:
 
   - ONE unified row table (accel/wide.py): internal rows hold 8 child
     AABBs; leaf rows hold 14 triangles. Child pointers carry a LEAF tag
@@ -17,8 +23,11 @@ while only ~30% of steps visit a leaf. Design response:
     from inside the conditional; stale-t pruning between flushes is
     conservative and exact at the triangle test.
   - Fully vectorized control: per-row stacks in an (8, S) int32 loop carry
-    via one-hot lane masks; one-shot rank-based ordered descent (pairwise
-    tnear comparisons, no serial selection loop).
+    via one-hot lane masks; octant-order descent — children sit at
+    direction-coded slots (accel/wide.py::_octant_slots) so the
+    near-to-far priority is ``slot ^ octant(mean ray dir)``, hoisted out
+    of the loop (the per-step pairwise-tnear rank matrix it replaces
+    measured ~580 ns of the ~1.2 us step, experiments/ablate_step.py).
   - Fetch cost is hidden (measured): a "nofetch" probe ran at the same
     per-step cost as the real kernel.
 
@@ -39,9 +48,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .intersect import Hit, T_FAR, T_MIN
 
-SUB = 8  # sub-packets per grid cell (sublane rows)
+SUB = 8  # native f32 tile rows; the unit of sub-packet shapes
 SUBP = 128  # rays per sub-packet (lanes)
 TILE = SUB * SUBP
+# Production rows per grid cell: more rows amortize the fixed per-step
+# loop cost (measured: 342 -> 221 ns/ray from sub 8 -> 64 with the
+# branchless flush + 2x unroll, experiments/{sub_ab,best_config}.py;
+# every compute/fetch/extract census came back ~free, so the step cost
+# is structural).
+DEFAULT_SUB = 64
 WIDTH = 8  # children per wide node
 LEAF_CAP = 14
 BIG = 3e30  # python float: jnp scalars would be captured consts in pallas
@@ -50,12 +65,26 @@ LEAF_MASK = LEAF_TAG - 1
 
 
 def _bc(col):
-    """(8,1) -> (8,128) lane broadcast."""
-    return jax.lax.broadcast_in_dim(col, (SUB, SUBP), (0, 1))
+    """(s,1) -> (s,128) lane broadcast."""
+    return jax.lax.broadcast_in_dim(col, (col.shape[0], SUBP), (0, 1))
 
 
 def _rowsum(x):
     return jnp.sum(x, axis=1, keepdims=True)
+
+
+def _tree(fold, xs):
+    """Balanced-tree fold: turns an n-term accumulation chain (n serial
+    dependent ops) into a depth-log2(n) tree. The step cost of this
+    kernel is dependency-chain latency, not op count (ROADMAP round-3
+    censuses) — serial accumulations belong on no critical path."""
+    xs = list(xs)
+    while len(xs) > 1:
+        nxt = [fold(xs[i], xs[i + 1]) for i in range(0, len(xs) - 1, 2)]
+        if len(xs) % 2:
+            nxt.append(xs[-1])
+        xs = nxt
+    return xs[0]
 
 
 def _moller_trumbore(rs, ray, mask_col, t_best, leaf_cap, any_hit,
@@ -77,7 +106,7 @@ def _moller_trumbore(rs, ray, mask_col, t_best, leaf_cap, any_hit,
     lane_ok = (act > 0) & (_bc(mask_col) > 0)
     if any_hit:
         lane_ok = lane_ok & (blocked_ref[...] == 0)
-        new_blocked = jnp.zeros((SUB, SUBP), jnp.int32)
+    cands = []  # per-triangle (candidate t, candidate tri) or ok-int
     for k in range(leaf_cap):
         b = 9 * k
         p0x, p0y, p0z = (_bc(rs[:, b + i:b + i + 1]) for i in range(3))
@@ -105,12 +134,26 @@ def _moller_trumbore(rs, ray, mask_col, t_best, leaf_cap, any_hit,
               & (tt > T_MIN) & (tt < t))
         if any_hit:
             # Shadow rays need one bit, not best-hit bookkeeping.
-            new_blocked = jnp.maximum(new_blocked, ok.astype(jnp.int32))
+            cands.append(ok.astype(jnp.int32))
         else:
-            t = jnp.where(ok, tt, t)
-            tri = jnp.where(ok, _bc(lfirst) + k, tri)
+            cands.append((jnp.where(ok, tt, BIG), _bc(lfirst) + k))
+    # Tree-reduce the per-triangle candidates (the serial
+    # t/tri-select chain was 2*leaf_cap dependent ops on the critical
+    # path). Strict-< fold keeps the earlier triangle on exact ties —
+    # identical to the sequential update order.
     if any_hit:
-        blocked_ref[...] = jnp.maximum(blocked_ref[...], new_blocked)
+        blocked_ref[...] = jnp.maximum(blocked_ref[...],
+                                       _tree(jnp.maximum, cands))
+    else:
+        def fold(a, b):
+            take_b = b[0] < a[0]
+            return (jnp.where(take_b, b[0], a[0]),
+                    jnp.where(take_b, b[1], a[1]))
+
+        ct, ctri = _tree(fold, cands)
+        upd = ct < t
+        t = jnp.where(upd, ct, t)
+        tri = jnp.where(upd, ctri, tri)
     return t, tri
 
 
@@ -120,10 +163,14 @@ def _wide_kernel(rows_ref,
                  t_out, tri_out,
                  *, end_index: int, any_hit: bool, max_steps: int,
                  leaf_cap: int, stack_size: int,
-                 flush_fill: int = 6):
+                 flush_fill: int = 6, ablate: str = ""):
     END = jnp.int32(end_index)
-    lane_s = lax.broadcasted_iota(jnp.int32, (SUB, stack_size), 1)
-    c_iota = lax.broadcasted_iota(jnp.int32, (SUB, WIDTH), 1)
+    # Sub-packet rows per grid cell: derived from the block shape. 8 is
+    # the native f32 tile; 16/32 amortize the fixed per-step loop
+    # overhead over more rays (see ROADMAP round-3 overhead census).
+    sub = ox_ref.shape[1]
+    lane_s = lax.broadcasted_iota(jnp.int32, (sub, stack_size), 1)
+    c_iota = lax.broadcasted_iota(jnp.int32, (sub, WIDTH), 1)
 
     def safe_inv(d):
         return 1.0 / jnp.where(jnp.abs(d) > 1e-20, d,
@@ -135,17 +182,37 @@ def _wide_kernel(rows_ref,
     t0 = t0_ref[0]
     ray = (ox, oy, oz, dx, dy, dz,
            safe_inv(dx), safe_inv(dy), safe_inv(dz), t0, act)
+
+    # Octant-order descent (loop-invariant, hoisted): children sit at
+    # direction-coded slots (accel/wide.py::_octant_slots), so the
+    # near-to-far priority of child slot c for this sub-packet is just
+    # c ^ octant(mean ray dir) — no per-step pairwise-tnear matrix
+    # (which the ablation census measured at ~580 ns of the ~1.2 us
+    # step). Order affects step counts only, never results.
+    am = act.astype(jnp.float32)
+    o_row = ((jnp.sum(dx * am, axis=1, keepdims=True) < 0)
+             .astype(jnp.int32)
+             + 2 * (jnp.sum(dy * am, axis=1, keepdims=True) < 0)
+             .astype(jnp.int32)
+             + 4 * (jnp.sum(dz * am, axis=1, keepdims=True) < 0)
+             .astype(jnp.int32))  # (8,1)
+    prio = c_iota ^ jax.lax.broadcast_in_dim(o_row, (sub, WIDTH), (0, 1))
+    # prio is a per-row bijection on [0,8): ranks derived from it are
+    # unique. Pairwise "is nearer" masks, one per child column.
+    prio_lt = [(jax.lax.broadcast_in_dim(prio[:, cp:cp + 1],
+                                         (sub, WIDTH), (0, 1)) < prio)
+               for cp in range(WIDTH)]
     init = (
-        jnp.zeros((SUB, 1), jnp.int32),  # cur (root = row 0)
-        jnp.zeros((SUB, 1), jnp.int32),  # ptr
+        jnp.zeros((sub, 1), jnp.int32),  # cur (root = row 0)
+        jnp.zeros((sub, 1), jnp.int32),  # ptr
         (jnp.sum(act, axis=1, keepdims=True) == 0).astype(jnp.int32),
-        jnp.zeros((SUB, stack_size), jnp.int32),  # stack
-        jnp.full((SUB, 1), -1, jnp.int32),  # pend (parked leaf row)
+        jnp.zeros((sub, stack_size), jnp.int32),  # stack
+        jnp.full((sub, 1), -1, jnp.int32),  # pend (parked leaf row)
     )
     # Best-hit state lives in the output refs (updated under pl.when).
     t_out[0] = t0
-    tri_out[0] = (jnp.zeros((SUB, SUBP), jnp.int32) if any_hit
-                  else jnp.full((SUB, SUBP), -1, jnp.int32))
+    tri_out[0] = (jnp.zeros((sub, SUBP), jnp.int32) if any_hit
+                  else jnp.full((sub, SUBP), -1, jnp.int32))
 
     def advance(st):
         (ox, oy, oz, dx, dy, dz, ix, iy, iz, t0, act) = ray
@@ -163,19 +230,52 @@ def _wide_kernel(rows_ref,
                                jnp.sum(occ * live) >= flush_fill)
 
         # ---- flush: intersect all parked leaf rows at once. ------------
-        @pl.when(flush)
-        def _():
-            rows2 = jnp.concatenate(
-                [rows_ref[pl.ds(jnp.maximum(pend[s, 0], 0), 1), :]
-                 for s in range(SUB)], axis=0)
-            best_tri = (jnp.zeros((SUB, SUBP), jnp.int32) if any_hit
+        def do_flush():
+            if "flushfetch" in ablate:  # census: traced-but-always-0 addrs
+                rows2 = jnp.concatenate(
+                    [rows_ref[pl.ds(jnp.maximum(pend[s, 0] * 0, 0), 1), :]
+                     for s in range(sub)], axis=0)
+            else:
+                pmax = jnp.maximum(pend, 0)  # (sub,1): one extract per row
+                rows2 = jnp.concatenate(
+                    [rows_ref[pl.ds(pmax[s, 0], 1), :]
+                     for s in range(sub)], axis=0)
+            if "mtless" in ablate:  # census: fetches kept, MT math dropped
+                t_ref[...] = t_ref[...] - 1e-7 * jnp.abs(rows2[:, 0:1])
+                return
+            best_tri = (jnp.zeros((sub, SUBP), jnp.int32) if any_hit
                         else tri_ref[...])
             nt, ntri = _moller_trumbore(
                 rows2, ray, occ, (t_ref[...], best_tri),
                 leaf_cap, any_hit, tri_ref if any_hit else None)
+            # Census duplication (results provably unchanged: re-testing
+            # the same triangles against the already-updated t finds no
+            # strictly-closer hit, so the second pass is a timing-only
+            # redundancy the compiler cannot fold).
+            if "mt2x" in ablate and not any_hit:
+                nt, ntri = _moller_trumbore(
+                    rows2, ray, occ, (nt, ntri), leaf_cap, False, None)
+            if "fetch2x" in ablate and not any_hit:
+                rows2b = jnp.concatenate(
+                    [rows_ref[pl.ds(jnp.maximum(pend[s, 0], 0), 1), :]
+                     for s in range(sub)], axis=0)
+                nt, ntri = _moller_trumbore(
+                    rows2b, ray, occ, (nt, ntri), leaf_cap, False, None)
             t_ref[...] = nt
             if not any_hit:
                 tri_ref[...] = ntri
+
+        # Branchless flush is the DEFAULT (best_config.py): the MT math
+        # is latency-shadowed anyway, and flushing every step removes
+        # both the scalar branch and all pend-stall steps. ablate="when"
+        # restores the pl.when-gated flush for A/B.
+        if "flush" in ablate:
+            flush = jnp.bool_(False)
+        elif "when" not in ablate:
+            flush = jnp.bool_(True)
+            do_flush()
+        else:
+            pl.when(flush)(do_flush)
 
         # ---- pend bookkeeping (pure control math). ---------------------
         pend1 = jnp.where(flush, -1, pend)
@@ -190,12 +290,38 @@ def _wide_kernel(rows_ref,
         else:
             lane_act = (act > 0) & (_bc(done) == 0)
         is_node = live * (1 - leafbit) * (1 - retire)
-        fetch_idx = [jnp.where((leafbit[s, 0] > 0) | (done[s, 0] > 0),
-                               0, jnp.minimum(cur[s, 0], END))
-                     for s in range(SUB)]
+        # Fetch addresses: computed VECTORIALLY first so each row costs
+        # exactly ONE vector->scalar extract (three per row — leafbit,
+        # done, cur — measured as the per-row scaling cost that kept
+        # sub=16/32 from amortizing, experiments/sub_ab.py).
+        fidx = jnp.where((leafbit > 0) | (done > 0), 0,
+                         jnp.minimum(cur, END))  # (sub,1)
+        fetch_idx = [fidx[s, 0] for s in range(sub)]
+        if "mainfetch" in ablate:  # census: traced-but-always-0 addresses
+            fetch_idx = [jnp.minimum(cur[s, 0] * 0, END)
+                         for s in range(sub)]
         rs = jnp.concatenate(
-            [rows_ref[pl.ds(fetch_idx[s], 1), :] for s in range(SUB)],
+            [rows_ref[pl.ds(fetch_idx[s], 1), :] for s in range(sub)],
             axis=0)  # (8,128)
+        if "main2x" in ablate:  # census: duplicate traversal fetches
+            rs2 = jnp.concatenate(
+                [rows_ref[pl.ds(fetch_idx[s], 1), :] for s in range(sub)],
+                axis=0)
+            # Bit-exact no-op fold (int-space min; float min would
+            # canonicalize the NaN bit patterns of bitcast -1 pointers).
+            # CAVEAT: identical address expressions — the compiler may CSE
+            # the loads, making this measure ~nothing; see fetchx2b.
+            rs = lax.bitcast_convert_type(
+                jnp.minimum(lax.bitcast_convert_type(rs, jnp.int32),
+                            lax.bitcast_convert_type(rs2, jnp.int32)),
+                jnp.float32)
+        if "fetchx2b" in ablate:  # census: un-CSE-able fetch duplication
+            # Different addresses (fidx+1), folded away by a runtime-false
+            # unprovable mask — results exact, loads must actually issue.
+            rs2 = jnp.concatenate(
+                [rows_ref[pl.ds(jnp.minimum(fidx[s, 0] + 1, END), 1), :]
+                 for s in range(sub)], axis=0)
+            rs = jnp.where(_bc((fidx < 0).astype(jnp.int32)) > 0, rs2, rs)
 
         node_lane = lane_act & (_bc(is_node) > 0)
         hits, tmins, ptrs = [], [], []
@@ -207,18 +333,23 @@ def _wide_kernel(rows_ref,
                                    for i in range(3, 6))
             cptr = lax.bitcast_convert_type(rs[:, b + 6:b + 7], jnp.int32)
 
-            t1x = (bminx - ox) * ix
-            t2x = (bmaxx - ox) * ix
-            t1y = (bminy - oy) * iy
-            t2y = (bmaxy - oy) * iy
-            t1z = (bminz - oz) * iz
-            t2z = (bmaxz - oz) * iz
-            tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
-                                         jnp.minimum(t1y, t2y)),
-                             jnp.minimum(t1z, t2z))
-            tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
-                                         jnp.maximum(t1y, t2y)),
-                             jnp.maximum(t1z, t2z))
+            if "box" in ablate:
+                tn = (bminx - ox) * ix
+                tf = (bmaxx - ox) * ix + bminy + bmaxy + bminz + bmaxz \
+                    + iy * 0 + iz * 0
+            else:
+                t1x = (bminx - ox) * ix
+                t2x = (bmaxx - ox) * ix
+                t1y = (bminy - oy) * iy
+                t2y = (bmaxy - oy) * iy
+                t1z = (bminz - oz) * iz
+                t2z = (bmaxz - oz) * iz
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                             jnp.minimum(t1y, t2y)),
+                                 jnp.minimum(t1z, t2z))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                             jnp.maximum(t1y, t2y)),
+                                 jnp.maximum(t1z, t2z))
             pr = t_best if not any_hit else t0
             rhit = (tf >= jnp.maximum(tn, 0.0)) & (tn < pr) & node_lane
             # One reduce per child: the min-tnear doubles as the hit test.
@@ -228,11 +359,11 @@ def _wide_kernel(rows_ref,
             tmins.append(ctmin)
             ptrs.append(cptr)
         H = jnp.concatenate(hits, axis=1)  # (8,8) i32
-        TN = jnp.concatenate(tmins, axis=1)  # (8,8) f32
         P = jnp.concatenate(ptrs, axis=1)  # (8,8) i32
+        TN = jnp.concatenate(tmins, axis=1) if "pairwise" in ablate else None
 
         def _bw(col):  # (8,1) -> (8,WIDTH)
-            return jax.lax.broadcast_in_dim(col, (SUB, WIDTH), (0, 1))
+            return jax.lax.broadcast_in_dim(col, (sub, WIDTH), (0, 1))
 
         # Split hit children into internal and leaf sets (the tag bit lives
         # in the child pointer — no fetch needed to know a child's kind).
@@ -241,25 +372,32 @@ def _wide_kernel(rows_ref,
         n_int = _rowsum(HI)  # (8,1)
         descend = (n_int > 0).astype(jnp.int32) * is_node  # (8,1)
 
-        # ONE pairwise rank over all hit children (distinct per hit child —
-        # ties broken by index); the leaf-enqueue pick, descend target, and
-        # push positions all derive from it (three separate rank loops
-        # measured as a real share of the op-bound step). Shadow (any-hit)
-        # traversal needs no near-first ordering: index-order ranks via a
-        # prefix sum drop the pairwise-tnear block entirely.
-        rank_all = jnp.zeros((SUB, WIDTH), jnp.int32)
+        # ONE dense rank over all hit children (distinct per hit child:
+        # prio is a per-row bijection); the leaf-enqueue pick, descend
+        # target, and push positions all derive from it. Closest-hit uses
+        # the hoisted octant-priority masks (near-to-far approx order);
+        # shadow (any-hit) needs no ordering: index-order ranks via a
+        # prefix sum.
+        terms = []
         for cp in range(WIDTH):
-            if any_hit:
-                if cp:
-                    rank_all = rank_all + ((c_iota >= cp).astype(jnp.int32)
-                                           * _bw(H[:, cp - 1:cp]))
+            if "pairwise" in ablate and not any_hit:
+                # Round-2 exact ordered descent (A/B reference): pairwise
+                # union-tnear comparisons, ties broken by index.
+                tn_cp = TN[:, cp:cp + 1]
+                nearer = ((_bw(tn_cp) < TN)
+                          | ((_bw(tn_cp) == TN) & (cp < c_iota)))
+                terms.append((nearer & (_bw(H[:, cp:cp + 1]) > 0)
+                              ).astype(jnp.int32))
                 continue
-            tn_cp = TN[:, cp:cp + 1]
-            nearer = ((_bw(tn_cp) < TN)
-                      | ((_bw(tn_cp) == TN) & (cp < c_iota)))
-            rank_all = rank_all + (nearer
-                                   & (_bw(H[:, cp:cp + 1]) > 0)
-                                   ).astype(jnp.int32)
+            if any_hit or "rank" in ablate:
+                if cp:
+                    terms.append((c_iota >= cp).astype(jnp.int32)
+                                 * _bw(H[:, cp - 1:cp]))
+                continue
+            terms.append((prio_lt[cp]
+                          & (_bw(H[:, cp:cp + 1]) > 0)).astype(jnp.int32))
+        rank_all = (_tree(jnp.add, terms) if terms
+                    else jnp.zeros((sub, WIDTH), jnp.int32))
 
         # Nearest hit LEAF child goes straight into the free pend slot
         # (skipping the stack and its one-step-per-leaf parking cost).
@@ -292,24 +430,26 @@ def _wide_kernel(rows_ref,
         npush = _rowsum(pushable)
         push_c = pushable
         pos_c = _bw(ptr) + _bw(npush) - 1 - rank  # (8,WIDTH)
-        delta = jnp.zeros((SUB, stack_size), jnp.int32)
-        written = jnp.zeros((SUB, stack_size), jnp.int32)
-        for ci in range(WIDTH):
+        deltas, writtens = [], []
+        for ci in range(WIDTH if "stack" not in ablate else 0):
             onehot = ((lane_s == jax.lax.broadcast_in_dim(
-                pos_c[:, ci:ci + 1], (SUB, stack_size), (0, 1)))
+                pos_c[:, ci:ci + 1], (sub, stack_size), (0, 1)))
                 & (jax.lax.broadcast_in_dim(
-                    push_c[:, ci:ci + 1], (SUB, stack_size), (0, 1)) > 0)
+                    push_c[:, ci:ci + 1], (sub, stack_size), (0, 1)) > 0)
             ).astype(jnp.int32)
-            delta = delta + onehot * jax.lax.broadcast_in_dim(
-                P[:, ci:ci + 1], (SUB, stack_size), (0, 1))
-            written = written + onehot
+            deltas.append(onehot * jax.lax.broadcast_in_dim(
+                P[:, ci:ci + 1], (sub, stack_size), (0, 1)))
+            writtens.append(onehot)
+        zero = jnp.zeros((sub, stack_size), jnp.int32)
+        delta = _tree(jnp.add, deltas) if deltas else zero
+        written = _tree(jnp.add, writtens) if writtens else zero
         new_stack = stack * (1 - written) + delta
         pos = ptr + npush
 
         # Pop path (parked-leaf rows and no-hit internal rows).
         can_pop = (pos > 0).astype(jnp.int32)
         top = jax.lax.broadcast_in_dim(jnp.maximum(pos - 1, 0),
-                                       (SUB, stack_size), (0, 1))
+                                       (sub, stack_size), (0, 1))
         popped = _rowsum(jnp.where(lane_s == top, new_stack, 0))  # (8,1)
 
         nxt = jnp.where(descend > 0, near_ptr,
@@ -331,11 +471,16 @@ def _wide_kernel(rows_ref,
 
     def cond(carry):
         steps, st = carry
-        return jnp.logical_and(jnp.sum(st[2]) < SUB, steps < max_steps)
+        return jnp.logical_and(jnp.sum(st[2]) < sub, steps < max_steps)
 
-    def body(carry):
-        steps, st = carry
-        return steps + 1, advance(st)
+    if "unroll1" in ablate:  # A/B: one step per cond evaluation
+        def body(carry):
+            steps, st = carry
+            return steps + 1, advance(st)
+    else:  # default: 2 steps per cond evaluation (best_config.py)
+        def body(carry):
+            steps, st = carry
+            return steps + 2, advance(advance(st))
 
     lax.while_loop(cond, body, (jnp.int32(0), init))
 
@@ -343,28 +488,29 @@ def _wide_kernel(rows_ref,
 @functools.partial(jax.jit,
                    static_argnames=("any_hit", "end_index", "interpret",
                                     "leaf_cap", "stack_size", "max_steps",
-                                    "flush_fill"))
+                                    "flush_fill", "ablate"))
 def _wide_trace(trav_rows, ox, oy, oz, dx, dy, dz, t0, act,
                 *, any_hit: bool, end_index: int, max_steps: int,
                 interpret: bool = False, leaf_cap: int = LEAF_CAP,
-                stack_size: int = 64, flush_fill: int = 6):
-    G = ox.shape[0]
+                stack_size: int = 64, flush_fill: int = 6,
+                ablate: str = ""):
+    G, sub = ox.shape[0], ox.shape[1]
     kernel = functools.partial(_wide_kernel, end_index=end_index,
                                any_hit=any_hit, leaf_cap=leaf_cap,
                                max_steps=max_steps, stack_size=stack_size,
-                               flush_fill=flush_fill)
+                               flush_fill=flush_fill, ablate=ablate)
     grid_spec = pl.GridSpec(
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # trav_rows (whole)
-        ] + [pl.BlockSpec((1, SUB, SUBP), lambda g: (g, 0, 0),
+        ] + [pl.BlockSpec((1, sub, SUBP), lambda g: (g, 0, 0),
                           memory_space=pltpu.VMEM)] * 8,
-        out_specs=[pl.BlockSpec((1, SUB, SUBP), lambda g: (g, 0, 0),
+        out_specs=[pl.BlockSpec((1, sub, SUBP), lambda g: (g, 0, 0),
                                 memory_space=pltpu.VMEM)] * 2,
     )
     out_shape = [
-        jax.ShapeDtypeStruct((G, SUB, SUBP), jnp.float32),
-        jax.ShapeDtypeStruct((G, SUB, SUBP), jnp.int32),
+        jax.ShapeDtypeStruct((G, sub, SUBP), jnp.float32),
+        jax.ShapeDtypeStruct((G, sub, SUBP), jnp.int32),
     ]
     t, tri = pl.pallas_call(
         kernel,
@@ -380,24 +526,41 @@ def _wide_trace(trav_rows, ox, oy, oz, dx, dy, dz, t0, act,
 
 
 def intersect_wide(scene, ro, rd, tmax=None, active=None,
-                   any_hit: bool = False, interpret: bool = False) -> Hit:
+                   any_hit: bool = False, interpret: bool = False,
+                   sub: int | None = None) -> Hit:
     """Hit-compatible wrapper over the wide-BVH traversal kernel.
 
     Requires ``scene.trav_rows`` (built by accel/wide.py via
     scene/buffers.py). The kernel tracks only (t, tri); barycentrics for
     the winning triangle are recomputed once outside (recompute_uv), which
     drops two output buffers and two select chains per unrolled triangle.
+
+    ``sub``: sub-packet rows per grid cell (default LOUPIOTE_WIDE_SUB or
+    8). Larger values amortize the fixed per-step loop overhead over more
+    rays; the ray count is padded up to a multiple of sub*128 with
+    inactive lanes.
     """
-    R = ro.shape[0]
-    assert R % TILE == 0, f"ray count {R} must be a multiple of {TILE}"
-    G = R // TILE
+    import os as _os
+
+    if sub is None:
+        sub = int(_os.environ.get("LOUPIOTE_WIDE_SUB", DEFAULT_SUB))
+    R0 = ro.shape[0]
+    tile = sub * SUBP
+    R = -(-R0 // tile) * tile
+    G = R // tile
+
+    t0 = jnp.full(R0, T_FAR, jnp.float32) if tmax is None else tmax
+    act = (jnp.ones(R0, jnp.int32) if active is None
+           else active.astype(jnp.int32))
+    if R != R0:
+        pad = R - R0
+        ro = jnp.concatenate([ro, jnp.zeros((pad, 3), ro.dtype)])
+        rd = jnp.concatenate([rd, jnp.ones((pad, 3), rd.dtype)])
+        t0 = jnp.concatenate([t0, jnp.zeros(pad, t0.dtype)])
+        act = jnp.concatenate([act, jnp.zeros(pad, act.dtype)])
 
     def shape(x):
-        return x.reshape(G, SUB, SUBP)
-
-    t0 = jnp.full(R, T_FAR, jnp.float32) if tmax is None else tmax
-    act = (jnp.ones(R, jnp.int32) if active is None
-           else active.astype(jnp.int32))
+        return x.reshape(G, sub, SUBP)
 
     t, tri = _wide_trace(
         scene.trav_rows,
@@ -410,17 +573,17 @@ def intersect_wide(scene, ro, rd, tmax=None, active=None,
         leaf_cap=int(getattr(scene, "leaf_cap", LEAF_CAP)),
         stack_size=int(scene.wide_stack))
 
-    tri = tri.reshape(R)
+    tri = tri.reshape(R)[:R0]
     if any_hit:
         tri = jnp.where(tri > 0, tri, -1)  # blocked flag -> hit/miss tri
-        u = v = jnp.zeros(R, jnp.float32)
+        u = v = jnp.zeros(R0, jnp.float32)
     else:
         from .intersect import recompute_uv
 
-        u, v = recompute_uv(scene, ro, rd, tri)
+        u, v = recompute_uv(scene, ro[:R0], rd[:R0], tri)
     if active is not None:
         tri = jnp.where(active, tri, -1)
-    return Hit(t.reshape(R), tri, u, v)
+    return Hit(t.reshape(R)[:R0], tri, u, v)
 
 
 def occluded_wide(scene, ro, rd, tmax, active=None,
