@@ -54,7 +54,10 @@ def section_headline():
 
     from loupiote_tpu.render.integrator import trace_paths
 
-    extra = {"device": str(jax.devices()[0])}
+    from loupiote_tpu.ops.pallas_wide import DEFAULT_SUB
+
+    extra = {"device": str(jax.devices()[0]),
+             "kernel_config": f"wide sub={DEFAULT_SUB} branchless drain"}
     t0 = time.time()
     scene, bufs, cam = _arch()
     cam = jnp.asarray(cam)
@@ -261,6 +264,9 @@ def section_cornell():
         r.raytrace(cam2)
         r.blit()
         dtb = min(dtb, time.time() - t0)
+    # cornell_blit_ms includes a full-window 6MB RGB readback; through the
+    # benchmarking tunnel that D2H transfer dominates (~0.5s) — on a local
+    # TPU host the same readback is milliseconds.
     return {"cornell_1spp_svgf_ms": round(dtc * 1000, 1),
             "cornell_fps": round(1.0 / dtc, 1),
             "cornell_blit_ms": round(dtb * 1000, 1)}

@@ -39,8 +39,8 @@ LEAF_CAP = 14
 BIG = 3e30
 
 def _bc(col):
-    """(8,1) -> (8,128) lane broadcast."""
-    return jax.lax.broadcast_in_dim(col, (SUB, SUBP), (0, 1))
+    """(s,1) -> (s,128) lane broadcast."""
+    return jax.lax.broadcast_in_dim(col, (col.shape[0], SUBP), (0, 1))
 
 
 def _tree(fold, xs):
@@ -62,6 +62,7 @@ def _traverse_kernel(node_ref, leaf_ref,
                      stack_ref, *, end_index: int, any_hit: bool,
                      max_steps: int, leaf_cap: int = LEAF_CAP,
                      stack: int = STACK):
+    sub = ox_ref.shape[1]  # sub-packet rows per grid cell
     ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
     act = act_ref[0]  # (8,128) int32 0/1 active mask
@@ -81,22 +82,22 @@ def _traverse_kernel(node_ref, leaf_ref,
 
     # Scalar state per sub-packet lives as (8,1) int32 columns; scalar
     # stack ops extract per-row values with static indices.
-    node0 = jnp.zeros((SUB, 1), jnp.int32)
-    ptr0 = jnp.zeros((SUB, 1), jnp.int32)
+    node0 = jnp.zeros((sub, 1), jnp.int32)
+    ptr0 = jnp.zeros((sub, 1), jnp.int32)
     # Sub-packets with no active ray retire before the first step.
     # (int32 throughout: bool scalar extract is unsupported in Mosaic.)
     done0 = (jnp.sum(act, axis=1, keepdims=True) == 0).astype(jnp.int32)
 
     def cond(c):
         (node, ptr, done, t, u, v, tri, blocked, steps) = c
-        return jnp.logical_and(jnp.sum(done) < SUB, steps < max_steps)
+        return jnp.logical_and(jnp.sum(done) < sub, steps < max_steps)
 
     def body(c):
         (node, ptr, done, t, u, v, tri, blocked, steps) = c
 
         # --- fetch the 8 node rows (dynamic sublane slices).
         rows = [node_ref[pl.ds(jnp.where(done[s, 0] > 0, 0, node[s, 0]), 1), :]
-                for s in range(SUB)]
+                for s in range(sub)]
         nrow = jnp.concatenate(rows, axis=0)  # (8, 16)
 
         bminx, bminy, bminz = (_bc(nrow[:, i:i + 1]) for i in range(3))
@@ -133,7 +134,7 @@ def _traverse_kernel(node_ref, leaf_ref,
         # up to 14 triangles with per-row masks.
         leaf_row_idx = do_leaf_i * slot8  # (8,1) int32 (row 0 when inactive)
         lrows = jnp.concatenate(
-            [leaf_ref[pl.ds(leaf_row_idx[s, 0], 1), :] for s in range(SUB)],
+            [leaf_ref[pl.ds(leaf_row_idx[s, 0], 1), :] for s in range(sub)],
             axis=0)  # (8, 128)
         gfirst = slot9  # (8,1) global first tri (valid for leaves)
 
@@ -208,7 +209,7 @@ def _traverse_kernel(node_ref, leaf_ref,
             n_blocked = jnp.sum(jnp.maximum(new_blocked, 1 - act), axis=1,
                                 keepdims=True)  # (8,1)
         nodes_s, ptrs_s, dones_s = [], [], []
-        for s in range(SUB):
+        for s in range(sub):
             d_s = descend_i[s, 0] > 0
             ptr_s = ptr[s, 0]
             # Push far child (write is unconditional but only [0, ptr)
@@ -226,18 +227,18 @@ def _traverse_kernel(node_ref, leaf_ref,
             nodes_s.append(jnp.where(fin, 0, nxt))
             ptrs_s.append(nptr)
             dones_s.append(fin.astype(jnp.int32))
-        new_node = jnp.stack(nodes_s).reshape(SUB, 1)
-        new_ptr = jnp.stack(ptrs_s).reshape(SUB, 1)
-        new_done = jnp.stack(dones_s).reshape(SUB, 1)
+        new_node = jnp.stack(nodes_s).reshape(sub, 1)
+        new_ptr = jnp.stack(ptrs_s).reshape(sub, 1)
+        new_done = jnp.stack(dones_s).reshape(sub, 1)
 
         return (new_node, new_ptr, new_done, new_t, new_u, new_v, new_tri,
                 new_blocked, steps + 1)
 
     init = (node0, ptr0, done0, t0,
-            jnp.zeros((SUB, SUBP), jnp.float32),
-            jnp.zeros((SUB, SUBP), jnp.float32),
-            jnp.full((SUB, SUBP), -1, jnp.int32),
-            jnp.zeros((SUB, SUBP), jnp.int32),  # blocked as i32 (Mosaic
+            jnp.zeros((sub, SUBP), jnp.float32),
+            jnp.zeros((sub, SUBP), jnp.float32),
+            jnp.full((sub, SUBP), -1, jnp.int32),
+            jnp.zeros((sub, SUBP), jnp.int32),  # blocked as i32 (Mosaic
             jnp.int32(0))                        # can't carry i1 vectors)
     out = lax.while_loop(cond, body, init)
     (_, _, _, t, u, v, tri, blocked, _) = out
@@ -261,6 +262,7 @@ def _anyhit_kernel(node_ref, leaf_ref,
     ray); rows retire as soon as every active lane is blocked. Callers
     bound rays by light distance or scene-exit t (ops/shade.py).
     """
+    sub = ox_ref.shape[1]  # sub-packet rows per grid cell
     ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
     act = act_ref[0]  # (8,128) int32 0/1
@@ -272,18 +274,18 @@ def _anyhit_kernel(node_ref, leaf_ref,
     ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
     t0 = t0_ref[0]
 
-    node0 = jnp.zeros((SUB, 1), jnp.int32)
+    node0 = jnp.zeros((sub, 1), jnp.int32)
     done0 = (jnp.sum(act, axis=1, keepdims=True) == 0).astype(jnp.int32)
     end = jnp.int32(end_index)
 
     def cond(c):
         node, done, blocked, steps = c
-        return jnp.logical_and(jnp.sum(done) < SUB, steps < max_steps)
+        return jnp.logical_and(jnp.sum(done) < sub, steps < max_steps)
 
     def body(c):
         node, done, blocked, steps = c
         rows = [node_ref[pl.ds(jnp.where(done[s, 0] > 0, 0, node[s, 0]), 1), :]
-                for s in range(SUB)]
+                for s in range(sub)]
         nrow = jnp.concatenate(rows, axis=0)  # (8, 16)
         bminx, bminy, bminz = (_bc(nrow[:, i:i + 1]) for i in range(3))
         bmaxx, bmaxy, bmaxz = (_bc(nrow[:, i:i + 1]) for i in range(3, 6))
@@ -312,7 +314,7 @@ def _anyhit_kernel(node_ref, leaf_ref,
 
         leaf_row_idx = do_leaf_i * slot8
         lrows = jnp.concatenate(
-            [leaf_ref[pl.ds(leaf_row_idx[s, 0], 1), :] for s in range(SUB)],
+            [leaf_ref[pl.ds(leaf_row_idx[s, 0], 1), :] for s in range(sub)],
             axis=0)
 
         oks = []
@@ -360,7 +362,7 @@ def _anyhit_kernel(node_ref, leaf_ref,
         new_node = (1 - fin) * nxt
         return new_node, fin, new_blocked, steps + 1
 
-    init = (node0, done0, jnp.zeros((SUB, SUBP), jnp.int32), jnp.int32(0))
+    init = (node0, done0, jnp.zeros((sub, SUBP), jnp.int32), jnp.int32(0))
     _, _, blocked, _ = lax.while_loop(cond, body, init)
     blocked_out[0] = blocked
 
@@ -371,7 +373,7 @@ def _anyhit_kernel(node_ref, leaf_ref,
 def _pallas_anyhit(node_rows, leaf_rows, ox, oy, oz, dx, dy, dz, t0, act,
                    *, end_index: int, num_nodes: int,
                    interpret: bool = False, leaf_cap: int = LEAF_CAP):
-    G = ox.shape[0]
+    G, sub = ox.shape[0], ox.shape[1]
     kernel = functools.partial(_anyhit_kernel, end_index=end_index,
                                leaf_cap=leaf_cap,
                                max_steps=4 * num_nodes + 64)
@@ -380,15 +382,15 @@ def _pallas_anyhit(node_rows, leaf_rows, ox, oy, oz, dx, dy, dz, t0, act,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec((1, SUB, SUBP), lambda g: (g, 0, 0),
+        ] + [pl.BlockSpec((1, sub, SUBP), lambda g: (g, 0, 0),
                           memory_space=pltpu.VMEM)] * 8,
-        out_specs=[pl.BlockSpec((1, SUB, SUBP), lambda g: (g, 0, 0),
+        out_specs=[pl.BlockSpec((1, sub, SUBP), lambda g: (g, 0, 0),
                                 memory_space=pltpu.VMEM)],
     )
     (blocked,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((G, SUB, SUBP), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((G, sub, SUBP), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
             dimension_semantics=("arbitrary",),
@@ -398,27 +400,51 @@ def _pallas_anyhit(node_rows, leaf_rows, ox, oy, oz, dx, dy, dz, t0, act,
     return blocked
 
 
+def _sub_rows(sub):
+    import os as _os
+
+    if sub is None:
+        sub = int(_os.environ.get("LOUPIOTE_BVH2_SUB", SUB))
+    return sub
+
+
+def _pad_rays(sub, ro, rd, t0, act):
+    """Pad the wave to a multiple of sub*128 with inactive lanes."""
+    R0 = ro.shape[0]
+    tile = sub * SUBP
+    R = -(-R0 // tile) * tile
+    if R != R0:
+        pad = R - R0
+        ro = jnp.concatenate([ro, jnp.zeros((pad, 3), ro.dtype)])
+        rd = jnp.concatenate([rd, jnp.ones((pad, 3), rd.dtype)])
+        t0 = jnp.concatenate([t0, jnp.zeros(pad, t0.dtype)])
+        act = jnp.concatenate([act, jnp.zeros(pad, act.dtype)])
+    return R, ro, rd, t0, act
+
+
 def occluded_pallas(scene, ro, rd, tmax, active=None,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool = False,
+                    sub: int | None = None) -> jnp.ndarray:
     """(R,) bool: segment [T_MIN, tmax) blocked — via the any-hit kernel."""
-    R = ro.shape[0]
-    assert R % TILE == 0, f"ray count {R} must be a multiple of {TILE}"
-    G = R // TILE
+    sub = _sub_rows(sub)
+    R0 = ro.shape[0]
+    act = (jnp.ones(R0, jnp.int32) if active is None
+           else active.astype(jnp.int32))
+    R, ro, rd, t0, act = _pad_rays(sub, ro, rd, tmax, act)
+    G = R // (sub * SUBP)
 
     def shape(x):
-        return x.reshape(G, SUB, SUBP)
+        return x.reshape(G, sub, SUBP)
 
-    act = (jnp.ones(R, jnp.int32) if active is None
-           else active.astype(jnp.int32))
     blocked = _pallas_anyhit(
         scene.node_rows, scene.leaf_rows,
         shape(ro[:, 0]), shape(ro[:, 1]), shape(ro[:, 2]),
         shape(rd[:, 0]), shape(rd[:, 1]), shape(rd[:, 2]),
-        shape(tmax), shape(act),
+        shape(t0), shape(act),
         end_index=int(scene.end_index), num_nodes=int(scene.num_nodes),
         interpret=interpret,
         leaf_cap=int(getattr(scene, "leaf_cap", LEAF_CAP)))
-    out = blocked.reshape(R) > 0
+    out = blocked.reshape(R)[:R0] > 0
     if active is not None:
         out = out & active
     return out
@@ -431,7 +457,7 @@ def _pallas_trace(node_rows, leaf_rows, ox, oy, oz, dx, dy, dz, t0, act,
                   *, any_hit: bool, end_index: int, num_nodes: int,
                   interpret: bool = False, leaf_cap: int = LEAF_CAP,
                   stack_depth: int = STACK):
-    G = ox.shape[0]
+    G, sub = ox.shape[0], ox.shape[1]
     kernel = functools.partial(_traverse_kernel, end_index=end_index,
                                any_hit=any_hit, leaf_cap=leaf_cap,
                                max_steps=4 * num_nodes + 64,
@@ -441,17 +467,17 @@ def _pallas_trace(node_rows, leaf_rows, ox, oy, oz, dx, dy, dz, t0, act,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # node_rows (whole)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # leaf_rows (whole)
-        ] + [pl.BlockSpec((1, SUB, SUBP), lambda g: (g, 0, 0),
+        ] + [pl.BlockSpec((1, sub, SUBP), lambda g: (g, 0, 0),
                           memory_space=pltpu.VMEM)] * 8,
-        out_specs=[pl.BlockSpec((1, SUB, SUBP), lambda g: (g, 0, 0),
+        out_specs=[pl.BlockSpec((1, sub, SUBP), lambda g: (g, 0, 0),
                                 memory_space=pltpu.VMEM)] * 4,
-        scratch_shapes=[pltpu.SMEM((SUB * stack_depth,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((sub * stack_depth,), jnp.int32)],
     )
     out_shape = [
-        jax.ShapeDtypeStruct((G, SUB, SUBP), jnp.float32),
-        jax.ShapeDtypeStruct((G, SUB, SUBP), jnp.float32),
-        jax.ShapeDtypeStruct((G, SUB, SUBP), jnp.float32),
-        jax.ShapeDtypeStruct((G, SUB, SUBP), jnp.int32),
+        jax.ShapeDtypeStruct((G, sub, SUBP), jnp.float32),
+        jax.ShapeDtypeStruct((G, sub, SUBP), jnp.float32),
+        jax.ShapeDtypeStruct((G, sub, SUBP), jnp.float32),
+        jax.ShapeDtypeStruct((G, sub, SUBP), jnp.int32),
     ]
     t, u, v, tri = pl.pallas_call(
         kernel,
@@ -467,20 +493,19 @@ def _pallas_trace(node_rows, leaf_rows, ox, oy, oz, dx, dy, dz, t0, act,
 
 
 def intersect_pallas(scene, ro, rd, tmax=None, active=None,
-                     any_hit: bool = False, interpret: bool = False) -> Hit:
+                     any_hit: bool = False, interpret: bool = False,
+                     sub: int | None = None) -> Hit:
     """Hit-compatible wrapper over the Pallas traversal kernel."""
-    R = ro.shape[0]
-    assert R % TILE == 0, f"ray count {R} must be a multiple of {TILE}"
-    G = R // TILE
+    sub = _sub_rows(sub)
+    R0 = ro.shape[0]
+    t0 = jnp.full(R0, T_FAR, jnp.float32) if tmax is None else tmax
+    act = (jnp.ones(R0, jnp.int32) if active is None
+           else active.astype(jnp.int32))
+    R, ro, rd, t0, act = _pad_rays(sub, ro, rd, t0, act)
+    G = R // (sub * SUBP)
 
     def shape(x):
-        return x.reshape(G, SUB, SUBP)
-
-    t0 = jnp.full(R, T_FAR, jnp.float32) if tmax is None else tmax
-    if active is not None:
-        act = active.astype(jnp.int32)
-    else:
-        act = jnp.ones(R, jnp.int32)
+        return x.reshape(G, sub, SUBP)
 
     t, u, v, tri = _pallas_trace(
         scene.node_rows, scene.leaf_rows,
@@ -492,7 +517,8 @@ def intersect_pallas(scene, ro, rd, tmax=None, active=None,
         leaf_cap=int(getattr(scene, "leaf_cap", LEAF_CAP)),
         stack_depth=int(getattr(scene, "stack_depth", STACK)))
 
-    tri = tri.reshape(R)
+    tri = tri.reshape(R)[:R0]
     if active is not None:
         tri = jnp.where(active, tri, -1)
-    return Hit(t.reshape(R), tri, u.reshape(R), v.reshape(R))
+    return Hit(t.reshape(R)[:R0], tri, u.reshape(R)[:R0],
+               v.reshape(R)[:R0])

@@ -207,7 +207,8 @@ def _wide_kernel(rows_ref,
         jnp.zeros((sub, 1), jnp.int32),  # ptr
         (jnp.sum(act, axis=1, keepdims=True) == 0).astype(jnp.int32),
         jnp.zeros((sub, stack_size), jnp.int32),  # stack
-        jnp.full((sub, 1), -1, jnp.int32),  # pend (parked leaf row)
+        jnp.full((sub, 1), -1, jnp.int32),  # pendA (parked leaf row)
+        jnp.full((sub, 1), -1, jnp.int32),  # pendB (second slot)
     )
     # Best-hit state lives in the output refs (updated under pl.when).
     t_out[0] = t0
@@ -216,13 +217,14 @@ def _wide_kernel(rows_ref,
 
     def advance(st):
         (ox, oy, oz, dx, dy, dz, ix, iy, iz, t0, act) = ray
-        (cur, ptr, done, stack, pend) = st
+        (cur, ptr, done, stack, pendA, pendB) = st
         t_ref, tri_ref = t_out.at[0], tri_out.at[0]
 
         live = 1 - done
         leafbit = (cur >> 30) & 1  # (8,1): parked-at-leaf rows
         retire = (cur == END).astype(jnp.int32)
-        occ = (pend >= 0).astype(jnp.int32)
+        occ = (pendA >= 0).astype(jnp.int32)
+        occB = (pendB >= 0).astype(jnp.int32)
         stall = occ * jnp.minimum(leafbit + retire, 1) * live
         # Flush when a row is blocked on its pend slot, or when enough rows
         # hold a pending leaf that one MT block amortizes well.
@@ -233,10 +235,10 @@ def _wide_kernel(rows_ref,
         def do_flush():
             if "flushfetch" in ablate:  # census: traced-but-always-0 addrs
                 rows2 = jnp.concatenate(
-                    [rows_ref[pl.ds(jnp.maximum(pend[s, 0] * 0, 0), 1), :]
+                    [rows_ref[pl.ds(jnp.maximum(pendA[s, 0] * 0, 0), 1), :]
                      for s in range(sub)], axis=0)
             else:
-                pmax = jnp.maximum(pend, 0)  # (sub,1): one extract per row
+                pmax = jnp.maximum(pendA, 0)  # (sub,1): 1 extract per row
                 rows2 = jnp.concatenate(
                     [rows_ref[pl.ds(pmax[s, 0], 1), :]
                      for s in range(sub)], axis=0)
@@ -248,6 +250,14 @@ def _wide_kernel(rows_ref,
             nt, ntri = _moller_trumbore(
                 rows2, ray, occ, (t_ref[...], best_tri),
                 leaf_cap, any_hit, tri_ref if any_hit else None)
+            # Second pend slot (filled by the leaf-draining pop phase).
+            pmaxB = jnp.maximum(pendB, 0)
+            rows2b = jnp.concatenate(
+                [rows_ref[pl.ds(pmaxB[s, 0], 1), :]
+                 for s in range(sub)], axis=0)
+            nt, ntri = _moller_trumbore(
+                rows2b, ray, occB, (nt, ntri),
+                leaf_cap, any_hit, tri_ref if any_hit else None)
             # Census duplication (results provably unchanged: re-testing
             # the same triangles against the already-updated t finds no
             # strictly-closer hit, so the second pass is a timing-only
@@ -256,11 +266,11 @@ def _wide_kernel(rows_ref,
                 nt, ntri = _moller_trumbore(
                     rows2, ray, occ, (nt, ntri), leaf_cap, False, None)
             if "fetch2x" in ablate and not any_hit:
-                rows2b = jnp.concatenate(
-                    [rows_ref[pl.ds(jnp.maximum(pend[s, 0], 0), 1), :]
+                rows2c = jnp.concatenate(
+                    [rows_ref[pl.ds(jnp.maximum(pendA[s, 0], 0), 1), :]
                      for s in range(sub)], axis=0)
                 nt, ntri = _moller_trumbore(
-                    rows2b, ray, occ, (nt, ntri), leaf_cap, False, None)
+                    rows2c, ray, occ, (nt, ntri), leaf_cap, False, None)
             t_ref[...] = nt
             if not any_hit:
                 tri_ref[...] = ntri
@@ -278,7 +288,8 @@ def _wide_kernel(rows_ref,
             pl.when(flush)(do_flush)
 
         # ---- pend bookkeeping (pure control math). ---------------------
-        pend1 = jnp.where(flush, -1, pend)
+        pend1 = jnp.where(flush, -1, pendA)
+        pendB1 = jnp.where(flush, -1, pendB)
         take = (leafbit * live) > 0
         pend_new = jnp.where(take & (pend1 < 0), cur & LEAF_MASK, pend1)
 
@@ -409,24 +420,54 @@ def _wide_kernel(rows_ref,
         enq_ptr = _rowsum(selL0 * P) & LEAF_MASK
         pend_new = jnp.where(enq > 0, enq_ptr, pend_new)
 
-        # Nearest hit INTERNAL child is the descend target.
-        minI = jnp.min(jnp.where(HI > 0, rank_all, WIDTH), axis=1,
-                       keepdims=True)  # (8,1)
-        sel0 = HI * (rank_all == _bw(minI)).astype(jnp.int32)
-        near_ptr = _rowsum(sel0 * P)  # (8,1)
+        drain = "when" not in ablate and "drain" not in ablate
+        if drain:
+            # Second-nearest hit leaf child parks in slot B, and the
+            # descend target is the nearest REMAINING child of ANY kind
+            # (a leaf target takes the leafbit path next step). With all
+            # children consumed by park/descend/push, rows on the pop
+            # path provably pushed nothing this step — so the pop/drain
+            # reads index the OLD stack carry, taking the whole
+            # push-scatter chain off the step's critical path.
+            leafc2 = leafc * (1 - selL0 * _bw(enq))
+            minL2 = jnp.min(jnp.where(leafc2 > 0, rank_all, WIDTH),
+                            axis=1, keepdims=True)
+            selL1 = leafc2 * (rank_all == _bw(minL2)).astype(jnp.int32)
+            enqB = ((_rowsum(leafc2) > 0) & (pendB1 < 0)
+                    & (is_node > 0)).astype(jnp.int32)
+            pendB_mid = jnp.where(enqB > 0,
+                                  _rowsum(selL1 * P) & LEAF_MASK, pendB1)
+            remaining = (H - selL0 * _bw(enq) - selL1 * _bw(enqB))
+            minI = jnp.min(jnp.where(remaining > 0, rank_all, WIDTH),
+                           axis=1, keepdims=True)
+            sel0 = remaining * (rank_all == _bw(minI)).astype(jnp.int32)
+            descend = (_rowsum(remaining) > 0).astype(jnp.int32) * is_node
+            near_ptr = _rowsum(sel0 * P)  # may carry the leaf tag
+        else:
+            selL1 = jnp.zeros_like(leafc)
+            enqB = jnp.zeros((sub, 1), jnp.int32)
+            pendB_mid = pendB1
+            # Nearest hit INTERNAL child is the descend target.
+            minI = jnp.min(jnp.where(HI > 0, rank_all, WIDTH), axis=1,
+                           keepdims=True)  # (8,1)
+            sel0 = HI * (rank_all == _bw(minI)).astype(jnp.int32)
+            near_ptr = _rowsum(sel0 * P)  # (8,1)
 
         # Push set: all hit children except the descend target and the
-        # enqueued leaf. Ranks within the push set come from rank_all minus
-        # the (at most two) excluded nearer children; scatter far-to-near
-        # in one batched one-hot write.
+        # enqueued leaves. Ranks within the push set come from rank_all
+        # minus the (at most three) excluded nearer children; scatter
+        # far-to-near in one batched one-hot write.
         pushable = (H - sel0 * _bw(descend)
-                    - selL0 * _bw(enq))  # (8,WIDTH) 0/1
+                    - selL0 * _bw(enq) - selL1 * _bw(enqB))  # (8,WIDTH)
         pushable = pushable * _bw(is_node)
         rank = (rank_all
                 - (_bw(descend * minI) < rank_all).astype(jnp.int32)
                 * _bw(descend)
                 - (_bw(enq * minL + (1 - enq) * WIDTH) < rank_all
                    ).astype(jnp.int32))
+        if drain:
+            rank = rank - (_bw(enqB * minL2 + (1 - enqB) * WIDTH)
+                           < rank_all).astype(jnp.int32)
         npush = _rowsum(pushable)
         push_c = pushable
         pos_c = _bw(ptr) + _bw(npush) - 1 - rank  # (8,WIDTH)
@@ -446,28 +487,73 @@ def _wide_kernel(rows_ref,
         new_stack = stack * (1 - written) + delta
         pos = ptr + npush
 
-        # Pop path (parked-leaf rows and no-hit internal rows).
-        can_pop = (pos > 0).astype(jnp.int32)
-        top = jax.lax.broadcast_in_dim(jnp.maximum(pos - 1, 0),
-                                       (sub, stack_size), (0, 1))
-        popped = _rowsum(jnp.where(lane_s == top, new_stack, 0))  # (8,1)
+        # Pop path (parked-leaf rows and no-hit internal rows), with LEAF
+        # DRAINING: leaf-tagged stack tops park straight into free pend
+        # slots (up to 2/step) and the row pops deeper in the same step —
+        # a leaf visit then costs no step of its own. Only meaningful
+        # with the branchless flush (slots are empty at every step's
+        # parking phase); the sim puts leaf visits at ~45% of all steps.
+        if drain:
+            # Rows on the pop path pushed nothing this step (any remaining
+            # child became the descend target), so the tops index the OLD
+            # stack carry — available before the box test even starts,
+            # keeping the push scatter off the critical path.
+            def read_old(off):  # stack value at ptr-1-off, (sub,1)
+                idx = jax.lax.broadcast_in_dim(
+                    jnp.maximum(ptr - 1 - off, 0), (sub, stack_size),
+                    (0, 1))
+                return _rowsum(jnp.where(lane_s == idx, stack, 0))
 
-        nxt = jnp.where(descend > 0, near_ptr,
-                        jnp.where(can_pop > 0, popped, END))
-        new_ptr = jnp.where(descend > 0, pos, jnp.maximum(pos - 1, 0))
+            top0 = read_old(0)
+            top1 = read_old(1)
+            top2 = read_old(2)
+            popg = (1 - descend) * live  # rows on the pop path
+            freeA = (pend_new < 0).astype(jnp.int32)
+            freeB = (pendB_mid < 0).astype(jnp.int32)
+            cap = freeA + freeB
+            t0l = ((top0 >> 30) & 1) * (ptr >= 1).astype(jnp.int32)
+            t1l = ((top1 >> 30) & 1) * (ptr >= 2).astype(jnp.int32)
+            take0 = popg * t0l * (cap >= 1).astype(jnp.int32)
+            take1 = take0 * t1l * (cap >= 2).astype(jnp.int32)
+            # First parked leaf -> slot A if free else slot B; second
+            # (only possible when both were free) -> slot B.
+            pend_new = jnp.where((take0 * freeA) > 0, top0 & LEAF_MASK,
+                                 pend_new)
+            pendB_new = jnp.where((take0 * (1 - freeA) * freeB) > 0,
+                                  top0 & LEAF_MASK,
+                                  jnp.where(take1 > 0, top1 & LEAF_MASK,
+                                            pendB_mid))
+            consumed = take0 + take1
+            popped = jnp.where(consumed == 0, top0,
+                               jnp.where(consumed == 1, top1, top2))
+            can_pop = (ptr - consumed > 0).astype(jnp.int32)
+            nxt = jnp.where(descend > 0, near_ptr,
+                            jnp.where(can_pop > 0, popped, END))
+            new_ptr = jnp.where(descend > 0, pos,
+                                jnp.maximum(ptr - consumed - 1, 0))
+        else:
+            top_i = jax.lax.broadcast_in_dim(
+                jnp.maximum(pos - 1, 0), (sub, stack_size), (0, 1))
+            top0 = _rowsum(jnp.where(lane_s == top_i, new_stack, 0))
+            pendB_new = pendB_mid
+            can_pop = (pos > 0).astype(jnp.int32)
+            nxt = jnp.where(descend > 0, near_ptr,
+                            jnp.where(can_pop > 0, top0, END))
+            new_ptr = jnp.where(descend > 0, pos, jnp.maximum(pos - 1, 0))
 
         retiring = ((nxt & LEAF_MASK) >= END)  # (8,1) bool
-        fin = (done > 0) | (retiring & (pend_new < 0))
+        pends_clear = (pend_new < 0) & (pendB_new < 0)
+        fin = (done > 0) | (retiring & pends_clear)
         if any_hit:
             n_blocked = _rowsum(jnp.maximum(tri_ref[...], 1 - act))
-            fin = fin | ((n_blocked >= SUBP) & (pend_new < 0))
+            fin = fin | ((n_blocked >= SUBP) & pends_clear)
         fin = fin.astype(jnp.int32)
         # Rows retiring with a parked leaf wait on the inert END row until
         # the flush clears them.
         park = jnp.where(retiring, END, nxt)
         new_cur = (1 - fin) * park
 
-        return (new_cur, new_ptr, fin, new_stack, pend_new)
+        return (new_cur, new_ptr, fin, new_stack, pend_new, pendB_new)
 
     def cond(carry):
         steps, st = carry
@@ -544,6 +630,12 @@ def intersect_wide(scene, ro, rd, tmax=None, active=None,
 
     if sub is None:
         sub = int(_os.environ.get("LOUPIOTE_WIDE_SUB", DEFAULT_SUB))
+    ablate = ""
+    if _os.environ.get("LOUPIOTE_NO_DRAIN") == "1":
+        # Kill-switch for the leaf-draining pop scheme (host-replay and
+        # interpret-verified; this guards against a Mosaic-only lowering
+        # surprise on hardware the tunnel outage kept us from testing).
+        ablate = "drain"
     R0 = ro.shape[0]
     tile = sub * SUBP
     R = -(-R0 // tile) * tile
@@ -571,7 +663,7 @@ def intersect_wide(scene, ro, rd, tmax=None, active=None,
         max_steps=4 * int(scene.wide_end) + 64,
         interpret=interpret,
         leaf_cap=int(getattr(scene, "leaf_cap", LEAF_CAP)),
-        stack_size=int(scene.wide_stack))
+        stack_size=int(scene.wide_stack), ablate=ablate)
 
     tri = tri.reshape(R)[:R0]
     if any_hit:

@@ -123,12 +123,24 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
     gbuffer = None
     scene_lo = scene.node_min[0]
     scene_hi = scene.node_max[0]
+    # Sorted-state mode: instead of sorting rays locally inside the
+    # intersect (and scattering hits back to caller order), the WHOLE
+    # bounce state is permuted into octant+Morton order once per bounce.
+    # Everything downstream of the sort then runs coherent — including
+    # the NEE shadow wave of that bounce, which the local-sort scheme
+    # left in unsorted caller order — and the scatter-back is replaced
+    # by one final pixel-id scatter of the radiance.
+    pid = jnp.arange(R, dtype=jnp.int32)  # sorted-slot -> pixel index
     for bounce in range(bounces):
         if do_sort and bounce > 0:
-            hit = _intersect_sorted(scene, state.ro, state.rd, state.alive,
-                                    scene_lo, scene_hi)
-        else:
-            hit = intersect_any(scene, state.ro, state.rd, active=state.alive)
+            from ..ops.sort import ray_sort_key, sort_order
+
+            order = sort_order(ray_sort_key(state.ro, state.rd,
+                                            state.alive, scene_lo,
+                                            scene_hi))
+            state = jax.tree.map(lambda x: x[order], state)
+            pid = pid[order]
+        hit = intersect_any(scene, state.ro, state.rd, active=state.alive)
         if bounce == 0:
             surf0 = decode_surface(scene, state.ro, state.rd, hit,
                                    textures=scene.has_textures)
@@ -144,56 +156,31 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
         light_uv = nee_uv if bounce == 0 else None
         bsdf_uv = lobe_u = None
         if noise_tex is not None:
+            def bn_here(dim):
+                plane = bn(dim)
+                # Blue-noise planes are pixel-ordered; route them through
+                # the sorted-state permutation when one is active.
+                return plane[pid] if (do_sort and bounce > 0) else plane
+
             if light_uv is None:
-                light_uv = bn(1 + 3 * bounce)
-            bsdf_uv = bn(2 + 3 * bounce)
-            lobe_u = bn(3 + 3 * bounce)[:, 0]
+                light_uv = bn_here(1 + 3 * bounce)
+            bsdf_uv = bn_here(2 + 3 * bounce)
+            lobe_u = bn_here(3 + 3 * bounce)[:, 0]
         state, _ = shade_step(scene, state, hit, k_step, nee=nee,
                               last=(bounce == bounces - 1),
                               light_uv=light_uv, bsdf_uv=bsdf_uv,
                               lobe_u=lobe_u)
 
     radiance = state.radiance
+    if do_sort:
+        # One scatter returns the (possibly twice-)permuted radiance to
+        # pixel order.
+        radiance = jnp.zeros_like(radiance).at[pid].set(radiance)
     if tiled:
         radiance = from_tile_order(radiance, width, rows)
         gbuffer = GBuffer(*(from_tile_order(f, width, rows) for f in gbuffer))
 
     return radiance, gbuffer
-
-
-def _intersect_sorted(scene, ro, rd, alive, lo, hi):
-    """Trace with rays re-sorted by octant+Morton; results return in the
-    caller's order. Packs the permuted data into single arrays so the
-    dynamic permutation costs 2 gathers + argsort + scatter total."""
-    from ..ops.sort import ray_sort_key, sort_order
-
-    R = ro.shape[0]
-    order = sort_order(ray_sort_key(ro, rd, alive, lo, hi))
-    packed = jnp.concatenate(
-        [ro, rd, alive.astype(jnp.float32)[:, None]], axis=1)[order]
-    hit = intersect_any(scene, packed[:, 0:3], packed[:, 3:6],
-                        active=packed[:, 6] > 0.5)
-    out = jnp.concatenate(
-        [hit.t[:, None], hit.u[:, None], hit.v[:, None],
-         lax_bitcast(hit.tri)], axis=1)
-    # Scatter back to caller order (one scatter instead of four).
-    unsorted = jnp.zeros_like(out).at[order].set(out)
-    tri = lax_bitcast_i32(unsorted[:, 3])
-    from ..ops.intersect import Hit
-
-    return Hit(unsorted[:, 0], tri, unsorted[:, 1], unsorted[:, 2])
-
-
-def lax_bitcast(x_i32):
-    import jax.lax as lax
-
-    return lax.bitcast_convert_type(x_i32, jnp.float32)[:, None]
-
-
-def lax_bitcast_i32(x_f32):
-    import jax.lax as lax
-
-    return lax.bitcast_convert_type(x_f32, jnp.int32)
 
 
 def accumulate(accum: jnp.ndarray, sample: jnp.ndarray,
