@@ -56,6 +56,45 @@ class Driver:
             np.array([-10.0, 1.0, 0.0], np.float32), d / np.linalg.norm(d))
         self.last_time = time.perf_counter()
         self._fps = 0.0
+        # Shader-source auto reload (lib.rs:128-147 watches the shader dir
+        # and fires ReloadShaders on change): poll the kernel-module files'
+        # mtimes each step, throttled, and hot-reload when one changes.
+        self._watch_shaders = False
+        self._watch_mtimes: dict = {}
+        self._watch_last_poll = 0.0
+
+    # -- shader watching (lib.rs:128-147) -------------------------------------
+    def _shader_source_mtimes(self) -> dict:
+        import sys
+
+        out = {}
+        names = (self.renderer._RELOADABLE + self.renderer._REBINDERS)
+        for name in names:
+            mod = sys.modules.get(name)
+            path = getattr(mod, "__file__", None)
+            if path and os.path.exists(path):
+                out[path] = os.stat(path).st_mtime_ns
+        return out
+
+    def watch_shaders(self, enabled: bool = True) -> None:
+        """Enable/disable auto hot-reload on kernel-source changes."""
+        self._watch_shaders = enabled
+        if enabled:
+            self._watch_mtimes = self._shader_source_mtimes()
+
+    def poll_shader_watch(self, min_interval_s: float = 0.5) -> bool:
+        """Check watched sources; reload on change. Returns True if a
+        reload fired. Called from step(); callable directly by servers."""
+        now = time.perf_counter()
+        if now - self._watch_last_poll < min_interval_s:
+            return False
+        self._watch_last_poll = now
+        mtimes = self._shader_source_mtimes()
+        if mtimes != self._watch_mtimes:
+            self._watch_mtimes = mtimes
+            self.renderer.reload_shaders()
+            return True
+        return False
 
     # -- loading (app.rs:116-170) -------------------------------------------
     def load_gltf_path(self, path: str) -> None:
@@ -111,6 +150,8 @@ class Driver:
         self.last_time = now
         self._fps = 1.0 / max(dt, 1e-6)
 
+        if self._watch_shaders:
+            self.poll_shader_watch()
         view = self.camera_controller.update(dt)
         self.queries.start_frame()
         if not self.settings.accumulate or not self.camera_controller.is_static():

@@ -28,17 +28,19 @@ def scene_info_window(driver) -> dict:
 def performance_window(driver) -> dict:
     """gui/windows/performance_info.rs analog: delta, FPS, per-pass times.
 
-    ``frame_ms``/``fps`` time the PRODUCTION fused frame; ``passes`` come
+    ``frame_ms``/``fps`` time the PRODUCTION fused frame. ``passes`` come
     from Renderer.measure_passes, which re-dispatches the same kernels one
-    stage at a time with device fences — exact per-stage costs, but of an
-    unfused pipeline (the fused frame overlaps/fuses stages, so the pass
-    sum exceeds frame_ms by design). The flag makes that explicit."""
+    stage at a time and then RESCALES the stage times so they sum to the
+    measured fused frame ("frame (fused)" entry) — the per-pass shares are
+    estimated from the unfused replay, but the totals are consistent with
+    the frame the user runs (like the reference's GPU timestamps). The
+    flag makes the estimation method explicit."""
     q = driver.queries
     return {
         "frame_ms": q.frame_ms,
         "fps": driver.fps,
         "passes": dict(zip(q.labels(), q.values())),
-        "passes_are_unfused_replay": True,
+        "pass_shares_estimated_from_unfused_replay": True,
     }
 
 

@@ -104,7 +104,7 @@ class ViewerServer:
 
     def __init__(self, driver, host: str = "127.0.0.1", port: int = 8722,
                  jpeg_quality: int = 85, max_fps: float = 60.0,
-                 screenshot_dir: str = "/tmp/loupiote_shots"):
+                 screenshot_dir: Optional[str] = None):
         self.driver = driver
         self.input = InputManager()
         self._events: "queue.Queue[dict]" = queue.Queue()
@@ -115,6 +115,11 @@ class ViewerServer:
         self._min_dt = 1.0 / max_fps
         self._jpeg_quality = jpeg_quality
         self._stats: dict = {}
+        # Screenshot directory: server-controlled AND user-owned. A fixed
+        # world-writable /tmp path could be pre-created (or symlinked) by
+        # another local user to capture/redirect the PNG writes (round-3
+        # advisor finding) — default to a fresh mkdtemp under the user's
+        # control instead, created lazily on first use.
         self._screenshot_dir = screenshot_dir
 
         server = self
@@ -240,7 +245,21 @@ class ViewerServer:
                 import os
                 import time as _t
 
-                os.makedirs(self._screenshot_dir, exist_ok=True)
+                if self._screenshot_dir is None:
+                    import tempfile
+
+                    self._screenshot_dir = tempfile.mkdtemp(
+                        prefix="loupiote_shots_")
+                else:
+                    os.makedirs(self._screenshot_dir, exist_ok=True)
+                    st = os.lstat(self._screenshot_dir)
+                    import stat as _stat
+
+                    if (_stat.S_ISLNK(st.st_mode)
+                            or st.st_uid != os.getuid()):
+                        raise PermissionError(
+                            f"screenshot dir {self._screenshot_dir} is a "
+                            "symlink or owned by another user")
                 path = os.path.join(
                     self._screenshot_dir,
                     f"shot_{int(_t.time() * 1000)}.png")

@@ -202,12 +202,15 @@ def treelet_intersect(scene, ro, rd, tmax=None, active=None,
 
     # Fallback lanes re-trace through the wide sub-packet kernel (exact
     # same tree); packets with no active lane retire on their first step.
+    # Route through the SAME dispatch gates as the default path: on scenes
+    # whose unified row table exceeds the wide kernel's VMEM ceiling,
+    # _wide_enabled is False and the streaming BVH2 kernel must serve the
+    # fallback too (round-3 advisor finding).
+    from .intersect import _wide_enabled, intersect_packets
     from .pallas_wide import intersect_wide
 
     fb_act = fallback & (act > 0)
-    if interpret:
-        from .intersect import intersect_packets
-
+    if interpret or not _wide_enabled(scene):
         fb = intersect_packets(scene, ro, rd, tmax=t0, active=fb_act,
                                any_hit=any_hit)
     else:

@@ -364,17 +364,16 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
     while wide_stack < wide.stack_need:
         wide_stack *= 2
 
-    # Treelet tables (two-phase per-lane pipeline). Default: build for
-    # scenes big enough that the per-lane pipeline can win (same scale the
-    # dynamic inter-bounce sort targets).
+    # Treelet tables (two-phase per-lane pipeline). The consuming pipeline
+    # is opt-in (ops/intersect._treelet_enabled), so build the tables only
+    # under the SAME env var — building them by default was dead build time
+    # + device memory, and the near-identical LOUPIOTE_TREELETS spelling
+    # invited misconfiguration (round-3 advisor finding).
     import os as _os
 
     if treelets is None:
-        env = _os.environ.get("LOUPIOTE_TREELETS")
-        if env is not None:
-            treelets = env == "1"
-        else:
-            treelets = N >= 8192
+        treelets = (_os.environ.get("LOUPIOTE_TREELET") == "1"
+                    and N >= 8192)
     treelet_dev = None
     if treelets:
         from ..ops.treelet_pipeline import build_treelet_device

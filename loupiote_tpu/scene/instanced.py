@@ -203,7 +203,16 @@ def intersect_instanced(bufs: SceneBuffers, ro, rd, tmax=None, active=None,
 
     from ..ops.intersect import recompute_uv
 
-    u, v = recompute_uv(bufs, ro, rd, best_tri)
+    # tri_pack holds OBJECT-space triangles (per-mesh-BVH order), so the
+    # barycentric replay must run in object space too: transform each ray by
+    # its WINNING instance's world-to-object matrix before recompute_uv.
+    # (Replaying in world space returned wrong u/v for any instance with a
+    # non-identity transform — round-3 advisor finding.)
+    w2o_win = bufs.inst_w2o[jnp.maximum(best_inst, 0)]  # (R, 4, 4)
+    ro_win = jnp.einsum("rij,rj->ri", w2o_win[:, :3, :3], ro) \
+        + w2o_win[:, :3, 3]
+    rd_win = jnp.einsum("rij,rj->ri", w2o_win[:, :3, :3], rd)
+    u, v = recompute_uv(bufs, ro_win, rd_win, best_tri)
     return Hit(best_t, best_tri, u, v, inst=best_inst)
 
 

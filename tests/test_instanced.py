@@ -71,6 +71,49 @@ def test_instanced_matches_flattened(scenes, rng):
     assert (np.asarray(got.inst)[gh] >= 0).all()
 
 
+def test_instanced_uv_object_space(rng):
+    """Barycentrics must be replayed in OBJECT space (round-3 advisor):
+    a unit triangle translated +5x must return the same u/v a ray through
+    the untranslated triangle would — not world-coordinate-polluted values."""
+    from loupiote_tpu.ops.intersect import intersect_any
+
+    tri = Mesh(positions=np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]],
+                                  np.float32),
+               normals=np.array([[0, 0, 1]] * 3, np.float32),
+               texcoords=np.array([[0, 0], [1, 0], [0, 1]], np.float32),
+               indices=np.array([0, 1, 2], np.int32))
+    scene = Scene.default()
+    scene.meshes.append(tri)
+    scene.instances.append(Instance(mesh_index=0,
+                                    model_to_world=_xlate(5, 0, 0),
+                                    material_index=0))
+    inst = build_instanced_buffers(scene)
+    # Hit the translated triangle at object-space barycentrics (u, v) =
+    # (0.25, 0.25): world point (5.25, 0.25, 0).
+    ro = jnp.asarray(np.array([[5.25, 0.25, 3.0]], np.float32))
+    rd = jnp.asarray(np.array([[0.0, 0.0, -1.0]], np.float32))
+    hit = intersect_any(inst, ro, rd)
+    assert int(hit.tri[0]) == 0
+    assert np.allclose(float(hit.u[0]), 0.25, atol=1e-4)
+    assert np.allclose(float(hit.v[0]), 0.25, atol=1e-4)
+
+
+def test_instanced_uv_matches_flattened(scenes, rng):
+    """u/v of the winning hit agree with the flattened-scene oracle for
+    translated instances (same geometric triangle, same winding)."""
+    _, flat, inst = scenes
+    ro, rd = _rays(rng)
+    from loupiote_tpu.ops.intersect import intersect_any
+
+    want = intersect_rays(flat, ro, rd)
+    got = intersect_any(inst, ro, rd)
+    wh = np.asarray(want.tri) >= 0
+    assert np.allclose(np.asarray(got.u)[wh], np.asarray(want.u)[wh],
+                       rtol=1e-3, atol=1e-3)
+    assert np.allclose(np.asarray(got.v)[wh], np.asarray(want.v)[wh],
+                       rtol=1e-3, atol=1e-3)
+
+
 def test_occluded_matches(scenes, rng):
     _, flat, inst = scenes
     ro, rd = _rays(rng)
