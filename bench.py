@@ -171,37 +171,10 @@ def section_waves():
                 best = min(best, time.time() - t0)
         extra[name] = round(best * 1e3, 1)
 
-    # Per-lane top-tree walk (treelet phase 1, ops/lane_top.py): tracked
-    # here so the round-3 integration has a per-round baseline.
-    try:
-        from loupiote_tpu.accel.bvh import FlatBVH
-        from loupiote_tpu.ops.lane_top import build_top_tables, lane_top_trace
-
-        npk = np.asarray(bufs.node_pack)[:bufs.num_nodes]
-        bvh = FlatBVH(
-            node_min=npk[:, 0:3], node_max=npk[:, 3:6],
-            first=npk[:, 6].view(np.int32), count=npk[:, 7].view(np.int32),
-            miss=npk[:, 8].view(np.int32), right=npk[:, 9].view(np.int32),
-            axis=npk[:, 10].view(np.int32),
-            tri_order=np.arange(bufs.num_tris, dtype=np.int32))
-        tables = build_top_tables(bvh, top_wide=200)
-        tmax30 = jnp.full(pixels, 30.0)
-        lt = jax.jit(lambda a, b, t, act: lane_top_trace(tables, a, b,
-                                                         tmax=t, active=act))
-        best = float("inf")
-        npend = None
-        for i in range(4):
-            dro, drd, dal = jax.block_until_ready(
-                diffuse_wave(bufs, jr.PRNGKey(300 + i)))
-            t0 = time.time()
-            _, npend = jax.block_until_ready(lt(dro, drd, tmax30, dal))
-            if i:
-                best = min(best, time.time() - t0)
-        extra["lane_top_ms"] = round(best * 1e3, 1)
-        extra["lane_top_mean_pend"] = round(
-            float(np.asarray(npend)[np.asarray(dal)].mean()), 2)
-    except Exception as e:
-        extra["lane_top_error"] = repr(e)[:200]
+    # The per-lane top-walk timing (treelet phase 1) moved to
+    # experiments/treelet_bench.py: the pipeline is opt-in and
+    # sort-blocked, and bench minutes on the contended tunnel are the
+    # scarcest resource this repo has (VERDICT r3).
     return extra
 
 

@@ -38,12 +38,13 @@ LEAF_MASK = LEAF_TAG - 1
 
 @dataclass
 class WideBVH:
-    trav_rows: np.ndarray  # (W + L, 128) float32 unified row table
+    trav_rows: np.ndarray  # (rows, 128) float32 unified row table
     num_wide: int
     num_leaf_rows: int
     stack_need: int  # max stack entries any traversal order can require
-    end_index: int  # == W + L (termination sentinel)
+    end_index: int  # first row PAST the table (termination sentinel)
     leaf_row_max: int = LEAF_ROW_CAP  # max triangles in any leaf row
+    width: int = WIDTH  # children per internal node (8 = 1 row, 16 = 2)
 
 
 def _surface_area(bmin, bmax):
@@ -256,20 +257,31 @@ def collapse_wide_maps(bvh: FlatBVH, width: int = WIDTH, dp: bool = True):
 
 
 def _octant_slots(bvh: FlatBVH, mem: list[int], width: int):
-    """Assign each cluster member to a distinct 3-bit octant slot.
+    """Assign each cluster member to a direction-coded slot.
 
-    Slot code bit a = 1 iff the member's box center is on the positive
-    side of the members' mean center along axis a; collisions resolve
-    greedily (largest offset magnitude first, best-aligned free slot).
+    For width 8, slot s is a 3-bit octant code: bit a = 1 iff the member's
+    box center is on the positive side of the members' mean center along
+    axis a; collisions resolve greedily (largest offset magnitude first,
+    best-aligned free slot). For width 16, each octant code owns TWO slots
+    (s & 7 = octant, s >> 3 = pair index); the better-aligned member takes
+    the pair-0 slot so the kernel's intra-pair priority (pair 0 before
+    pair 1) visits the more direction-extreme child first.
     Returns a list of length ``width``: member id or None per slot.
     """
     k = len(mem)
     centers = (bvh.node_min[mem] + bvh.node_max[mem]) * 0.5  # (k, 3)
     off = centers - centers.mean(axis=0, keepdims=True)
-    # Slot direction vectors: d[s][a] = +1 if bit a of s is set else -1.
-    s_ids = np.arange(width)
-    d = np.stack([(s_ids >> a) & 1 for a in range(3)], axis=1) * 2.0 - 1.0
-    align = off @ d.T  # (k, width): alignment of member with each slot
+    # Octant direction vectors: d[o][a] = +1 if bit a of o is set else -1.
+    o_ids = np.arange(8)
+    d = np.stack([(o_ids >> a) & 1 for a in range(3)], axis=1) * 2.0 - 1.0
+    align8 = off @ d.T  # (k, 8): alignment of member with each octant
+    if width == 8:
+        align = align8
+    else:
+        # Two slots per octant; a tiny penalty on the pair-1 copy makes the
+        # greedy fill pair-0 first.
+        eps = 1e-6 * (1.0 + np.abs(align8).max())
+        align = np.concatenate([align8, align8 - eps], axis=1)  # (k, 16)
     order = np.argsort(-np.linalg.norm(off, axis=1), kind="stable")
     slot_of: list = [None] * width
     free = np.ones(width, bool)
@@ -288,9 +300,18 @@ def collapse_wide(bvh: FlatBVH, tri9: np.ndarray,
     ``tri9``: (T, 9) float32 [p0, e1, e2] per triangle in BVH leaf order
     (the same data the BVH2 leaf rows hold). ``dp`` selects the SAH DP
     collapse (default; see _dp_clusters) over the round-2 greedy.
+
+    ``width`` 8 or 16: a 16-ary internal node spans TWO consecutive rows
+    (children 0-7 in the first, 8-15 in the second; same 16-lane child
+    layout) and is addressed by its FIRST row — the kernel fetches
+    ``rows[ptr]`` and ``rows[ptr + 1]``. The width-16 step count is ~16%
+    lower on the arch-260k diffuse wave (experiments/width_sim.py) at the
+    cost of one extra (latency-hidden) fetch per internal step.
     """
     count = bvh.count
     is_leaf = count > 0
+    assert width in (8, 16)
+    rpn = width // WIDTH  # rows per internal node
 
     if dp:
         (wide_children, wide_of, leaf_nodes, leaf_row_of, tris,
@@ -301,7 +322,7 @@ def collapse_wide(bvh: FlatBVH, tri9: np.ndarray,
         tris = None
     W = len(wide_children)
     L = len(leaf_nodes)
-    rows = np.zeros((W + L, 128), np.float32)
+    rows = np.zeros((W * rpn + L, 128), np.float32)
 
     def _i32(x):
         return np.float32(np.int32(x).view(np.float32))
@@ -322,25 +343,27 @@ def collapse_wide(bvh: FlatBVH, tri9: np.ndarray,
     for w, mem in enumerate(wide_children):
         slot_of = _octant_slots(bvh, mem, width)
         for c in range(width):
-            b = 16 * c
+            r = w * rpn + (c // WIDTH)
+            b = 16 * (c % WIDTH)
             m = slot_of[c]
             if m is not None:
-                rows[w, b:b + 3] = bvh.node_min[m]
-                rows[w, b + 3:b + 6] = bvh.node_max[m]
+                rows[r, b:b + 3] = bvh.node_min[m]
+                rows[r, b + 3:b + 6] = bvh.node_max[m]
                 # Leaf children carry the tag bit so the kernel can defer
                 # leaf processing without fetching the row first.
-                ptr = ((W + leaf_row_of[m]) | LEAF_TAG
-                       if m in leaf_row_of else wide_of[m])
-                rows[w, b + 6] = _i32(ptr)
+                ptr = ((W * rpn + leaf_row_of[m]) | LEAF_TAG
+                       if m in leaf_row_of else wide_of[m] * rpn)
+                rows[r, b + 6] = _i32(ptr)
             else:
-                rows[w, b:b + 3] = 1e30
-                rows[w, b + 3:b + 6] = -1e30
-                rows[w, b + 6] = _i32(-1)
-        rows[w, 127] = _i32(0)
+                rows[r, b:b + 3] = 1e30
+                rows[r, b + 3:b + 6] = -1e30
+                rows[r, b + 6] = _i32(-1)
+        for rr in range(rpn):
+            rows[w * rpn + rr, 127] = _i32(0)
 
     # Leaf rows.
     for li, n2 in enumerate(leaf_nodes):
-        r = W + li
+        r = W * rpn + li
         f, c = leaf_fc(n2)
         assert c <= LEAF_ROW_CAP
         block = tri9[f:f + c].reshape(-1)
@@ -371,5 +394,5 @@ def collapse_wide(bvh: FlatBVH, tri9: np.ndarray,
 
     leaf_row_max = max((leaf_fc(n2)[1] for n2 in leaf_nodes), default=1)
     return WideBVH(trav_rows=rows, num_wide=W, num_leaf_rows=L,
-                   stack_need=stack_need, end_index=W + L,
-                   leaf_row_max=leaf_row_max)
+                   stack_need=stack_need, end_index=W * rpn + L,
+                   leaf_row_max=leaf_row_max, width=width)

@@ -163,14 +163,14 @@ def _wide_kernel(rows_ref,
                  t_out, tri_out,
                  *, end_index: int, any_hit: bool, max_steps: int,
                  leaf_cap: int, stack_size: int,
-                 flush_fill: int = 6, ablate: str = ""):
+                 flush_fill: int = 6, ablate: str = "", width: int = WIDTH):
     END = jnp.int32(end_index)
     # Sub-packet rows per grid cell: derived from the block shape. 8 is
     # the native f32 tile; 16/32 amortize the fixed per-step loop
     # overhead over more rays (see ROADMAP round-3 overhead census).
     sub = ox_ref.shape[1]
     lane_s = lax.broadcasted_iota(jnp.int32, (sub, stack_size), 1)
-    c_iota = lax.broadcasted_iota(jnp.int32, (sub, WIDTH), 1)
+    c_iota = lax.broadcasted_iota(jnp.int32, (sub, width), 1)
 
     def safe_inv(d):
         return 1.0 / jnp.where(jnp.abs(d) > 1e-20, d,
@@ -196,12 +196,19 @@ def _wide_kernel(rows_ref,
              .astype(jnp.int32)
              + 4 * (jnp.sum(dz * am, axis=1, keepdims=True) < 0)
              .astype(jnp.int32))  # (8,1)
-    prio = c_iota ^ jax.lax.broadcast_in_dim(o_row, (sub, WIDTH), (0, 1))
-    # prio is a per-row bijection on [0,8): ranks derived from it are
+    o_bc = jax.lax.broadcast_in_dim(o_row, (sub, width), (0, 1))
+    if width == WIDTH:
+        prio = c_iota ^ o_bc
+    else:
+        # 16-ary: slot s & 7 is the octant code, s >> 3 the intra-octant
+        # pair (the builder puts the more direction-extreme sibling at
+        # pair 0) — visit pairs near-to-far, pair-0 member first.
+        prio = 2 * ((c_iota & 7) ^ o_bc) + (c_iota >> 3)
+    # prio is a per-row bijection on [0,width): ranks derived from it are
     # unique. Pairwise "is nearer" masks, one per child column.
     prio_lt = [(jax.lax.broadcast_in_dim(prio[:, cp:cp + 1],
-                                         (sub, WIDTH), (0, 1)) < prio)
-               for cp in range(WIDTH)]
+                                         (sub, width), (0, 1)) < prio)
+               for cp in range(width)]
     init = (
         jnp.zeros((sub, 1), jnp.int32),  # cur (root = row 0)
         jnp.zeros((sub, 1), jnp.int32),  # ptr
@@ -333,16 +340,24 @@ def _wide_kernel(rows_ref,
                 [rows_ref[pl.ds(jnp.minimum(fidx[s, 0] + 1, END), 1), :]
                  for s in range(sub)], axis=0)
             rs = jnp.where(_bc((fidx < 0).astype(jnp.int32)) > 0, rs2, rs)
+        if width > WIDTH:
+            # 16-ary second row (children 8-15). Address is fidx + 1 —
+            # derived, not reduced, so the extra fetch rides the same
+            # dependency chain position as the first.
+            rs_b = jnp.concatenate(
+                [rows_ref[pl.ds(fetch_idx[s] + 1, 1), :]
+                 for s in range(sub)], axis=0)
 
         node_lane = lane_act & (_bc(is_node) > 0)
         hits, tmins, ptrs = [], [], []
-        for ci in range(WIDTH):
-            b = 16 * ci
-            bminx, bminy, bminz = (_bc(rs[:, b + i:b + i + 1])
+        for ci in range(width):
+            src = rs if ci < WIDTH else rs_b
+            b = 16 * (ci % WIDTH)
+            bminx, bminy, bminz = (_bc(src[:, b + i:b + i + 1])
                                    for i in range(3))
-            bmaxx, bmaxy, bmaxz = (_bc(rs[:, b + i:b + i + 1])
+            bmaxx, bmaxy, bmaxz = (_bc(src[:, b + i:b + i + 1])
                                    for i in range(3, 6))
-            cptr = lax.bitcast_convert_type(rs[:, b + 6:b + 7], jnp.int32)
+            cptr = lax.bitcast_convert_type(src[:, b + 6:b + 7], jnp.int32)
 
             if "box" in ablate:
                 tn = (bminx - ox) * ix
@@ -373,8 +388,8 @@ def _wide_kernel(rows_ref,
         P = jnp.concatenate(ptrs, axis=1)  # (8,8) i32
         TN = jnp.concatenate(tmins, axis=1) if "pairwise" in ablate else None
 
-        def _bw(col):  # (8,1) -> (8,WIDTH)
-            return jax.lax.broadcast_in_dim(col, (sub, WIDTH), (0, 1))
+        def _bw(col):  # (8,1) -> (8,width)
+            return jax.lax.broadcast_in_dim(col, (sub, width), (0, 1))
 
         # Split hit children into internal and leaf sets (the tag bit lives
         # in the child pointer — no fetch needed to know a child's kind).
@@ -390,7 +405,7 @@ def _wide_kernel(rows_ref,
         # shadow (any-hit) needs no ordering: index-order ranks via a
         # prefix sum.
         terms = []
-        for cp in range(WIDTH):
+        for cp in range(width):
             if "pairwise" in ablate and not any_hit:
                 # Round-2 exact ordered descent (A/B reference): pairwise
                 # union-tnear comparisons, ties broken by index.
@@ -408,11 +423,11 @@ def _wide_kernel(rows_ref,
             terms.append((prio_lt[cp]
                           & (_bw(H[:, cp:cp + 1]) > 0)).astype(jnp.int32))
         rank_all = (_tree(jnp.add, terms) if terms
-                    else jnp.zeros((sub, WIDTH), jnp.int32))
+                    else jnp.zeros((sub, width), jnp.int32))
 
         # Nearest hit LEAF child goes straight into the free pend slot
         # (skipping the stack and its one-step-per-leaf parking cost).
-        minL = jnp.min(jnp.where(leafc > 0, rank_all, WIDTH), axis=1,
+        minL = jnp.min(jnp.where(leafc > 0, rank_all, width), axis=1,
                        keepdims=True)  # (8,1)
         selL0 = leafc * (rank_all == _bw(minL)).astype(jnp.int32)
         enq = ((_rowsum(leafc) > 0) & (pend_new < 0)
@@ -430,7 +445,7 @@ def _wide_kernel(rows_ref,
             # reads index the OLD stack carry, taking the whole
             # push-scatter chain off the step's critical path.
             leafc2 = leafc * (1 - selL0 * _bw(enq))
-            minL2 = jnp.min(jnp.where(leafc2 > 0, rank_all, WIDTH),
+            minL2 = jnp.min(jnp.where(leafc2 > 0, rank_all, width),
                             axis=1, keepdims=True)
             selL1 = leafc2 * (rank_all == _bw(minL2)).astype(jnp.int32)
             enqB = ((_rowsum(leafc2) > 0) & (pendB1 < 0)
@@ -438,7 +453,7 @@ def _wide_kernel(rows_ref,
             pendB_mid = jnp.where(enqB > 0,
                                   _rowsum(selL1 * P) & LEAF_MASK, pendB1)
             remaining = (H - selL0 * _bw(enq) - selL1 * _bw(enqB))
-            minI = jnp.min(jnp.where(remaining > 0, rank_all, WIDTH),
+            minI = jnp.min(jnp.where(remaining > 0, rank_all, width),
                            axis=1, keepdims=True)
             sel0 = remaining * (rank_all == _bw(minI)).astype(jnp.int32)
             descend = (_rowsum(remaining) > 0).astype(jnp.int32) * is_node
@@ -448,7 +463,7 @@ def _wide_kernel(rows_ref,
             enqB = jnp.zeros((sub, 1), jnp.int32)
             pendB_mid = pendB1
             # Nearest hit INTERNAL child is the descend target.
-            minI = jnp.min(jnp.where(HI > 0, rank_all, WIDTH), axis=1,
+            minI = jnp.min(jnp.where(HI > 0, rank_all, width), axis=1,
                            keepdims=True)  # (8,1)
             sel0 = HI * (rank_all == _bw(minI)).astype(jnp.int32)
             near_ptr = _rowsum(sel0 * P)  # (8,1)
@@ -463,16 +478,16 @@ def _wide_kernel(rows_ref,
         rank = (rank_all
                 - (_bw(descend * minI) < rank_all).astype(jnp.int32)
                 * _bw(descend)
-                - (_bw(enq * minL + (1 - enq) * WIDTH) < rank_all
+                - (_bw(enq * minL + (1 - enq) * width) < rank_all
                    ).astype(jnp.int32))
         if drain:
-            rank = rank - (_bw(enqB * minL2 + (1 - enqB) * WIDTH)
+            rank = rank - (_bw(enqB * minL2 + (1 - enqB) * width)
                            < rank_all).astype(jnp.int32)
         npush = _rowsum(pushable)
         push_c = pushable
         pos_c = _bw(ptr) + _bw(npush) - 1 - rank  # (8,WIDTH)
         deltas, writtens = [], []
-        for ci in range(WIDTH if "stack" not in ablate else 0):
+        for ci in range(width if "stack" not in ablate else 0):
             onehot = ((lane_s == jax.lax.broadcast_in_dim(
                 pos_c[:, ci:ci + 1], (sub, stack_size), (0, 1)))
                 & (jax.lax.broadcast_in_dim(
@@ -574,17 +589,18 @@ def _wide_kernel(rows_ref,
 @functools.partial(jax.jit,
                    static_argnames=("any_hit", "end_index", "interpret",
                                     "leaf_cap", "stack_size", "max_steps",
-                                    "flush_fill", "ablate"))
+                                    "flush_fill", "ablate", "width"))
 def _wide_trace(trav_rows, ox, oy, oz, dx, dy, dz, t0, act,
                 *, any_hit: bool, end_index: int, max_steps: int,
                 interpret: bool = False, leaf_cap: int = LEAF_CAP,
                 stack_size: int = 64, flush_fill: int = 6,
-                ablate: str = ""):
+                ablate: str = "", width: int = WIDTH):
     G, sub = ox.shape[0], ox.shape[1]
     kernel = functools.partial(_wide_kernel, end_index=end_index,
                                any_hit=any_hit, leaf_cap=leaf_cap,
                                max_steps=max_steps, stack_size=stack_size,
-                               flush_fill=flush_fill, ablate=ablate)
+                               flush_fill=flush_fill, ablate=ablate,
+                               width=width)
     grid_spec = pl.GridSpec(
         grid=(G,),
         in_specs=[
@@ -663,7 +679,8 @@ def intersect_wide(scene, ro, rd, tmax=None, active=None,
         max_steps=4 * int(scene.wide_end) + 64,
         interpret=interpret,
         leaf_cap=int(getattr(scene, "leaf_cap", LEAF_CAP)),
-        stack_size=int(scene.wide_stack), ablate=ablate)
+        stack_size=int(scene.wide_stack), ablate=ablate,
+        width=int(getattr(scene, "wide_width", WIDTH)))
 
     tri = tri.reshape(R)[:R0]
     if any_hit:

@@ -46,6 +46,42 @@ def from_tile_order(x: jnp.ndarray, width: int, rows: int) -> jnp.ndarray:
     return x.reshape(rows * width, *lead)
 
 
+def _slab_sort_on() -> bool:
+    """Opt-in while device A/Bs accumulate (round-3 lesson: never ship a
+    default kernel path that has not run on hardware)."""
+    import os
+
+    return os.environ.get("LOUPIOTE_SLAB_SORT") == "1"
+
+
+def _slab_sort_state(key, state, pid):
+    """Permute (state, pid) by the slab-local sort of ``key``: every leaf
+    column rides the one Pallas dispatch as payload."""
+    from ..ops.intersect import _pallas_enabled
+    from ..ops.slab_sort import slab_sort
+
+    interpret = not _pallas_enabled()
+    leaves, treedef = jax.tree.flatten(state)
+    cols, widths = [], []
+    for leaf in leaves + [pid]:
+        if leaf.ndim == 2:
+            widths.append(leaf.shape[1])
+            cols.extend(leaf[:, c] for c in range(leaf.shape[1]))
+        else:
+            widths.append(0)
+            cols.append(leaf)
+    _, out = slab_sort(key, cols, interpret=interpret)
+    rebuilt, i = [], 0
+    for w in widths:
+        if w:
+            rebuilt.append(jnp.stack(out[i:i + w], axis=1))
+            i += w
+        else:
+            rebuilt.append(out[i])
+            i += 1
+    return jax.tree.unflatten(treedef, rebuilt[:-1]), rebuilt[-1]
+
+
 class GBuffer(NamedTuple):
     """First-bounce aux output (PrimaryRayPass analog, renderer.rs:466-481)."""
 
@@ -135,11 +171,19 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
         if do_sort and bounce > 0:
             from ..ops.sort import ray_sort_key, sort_order
 
-            order = sort_order(ray_sort_key(state.ro, state.rd,
-                                            state.alive, scene_lo,
-                                            scene_hi))
-            state = jax.tree.map(lambda x: x[order], state)
-            pid = pid[order]
+            key = ray_sort_key(state.ro, state.rd, state.alive,
+                               scene_lo, scene_hi)
+            if _slab_sort_on():
+                # Slab-local Pallas regroup (ops/slab_sort.py): one kernel
+                # dispatch sorts 64k-ray slabs with the whole state as
+                # payload — measured equal packet coherence to the global
+                # sort (experiments/slab_sort_sim.py) without argsort +
+                # per-field HBM gathers.
+                state, pid = _slab_sort_state(key, state, pid)
+            else:
+                order = sort_order(key)
+                state = jax.tree.map(lambda x: x[order], state)
+                pid = pid[order]
         hit = intersect_any(scene, state.ro, state.rd, active=state.alive)
         if bounce == 0:
             surf0 = decode_surface(scene, state.ro, state.rd, hit,

@@ -100,6 +100,7 @@ class SceneBuffers:
     trav_rows: jnp.ndarray = None  # (W + L, 128) float32
     wide_end: int = struct.field(pytree_node=False, default=0)
     wide_stack: int = struct.field(pytree_node=False, default=64)
+    wide_width: int = struct.field(pytree_node=False, default=8)
 
     # Shading attribute packs: ONE row gather per hit instead of ~11
     # (gathers cost ~row-count, not row-width, on TPU).
@@ -346,14 +347,20 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
     node_rows[N:, 0:3] = 1e30
     node_rows[N:, 3:6] = -1e30
 
-    # Wide (8-ary) unified traversal table (accel/wide.py).
+    # Wide unified traversal table (accel/wide.py). Width 16 (two-row
+    # nodes, ~16% fewer steps in sim) is opt-in while device A/Bs
+    # accumulate: LOUPIOTE_WIDE16=1.
+    import os as _os
+
     from ..accel.wide import collapse_wide
 
-    wide = collapse_wide(bvh, tri9)
+    wide_width = 16 if _os.environ.get("LOUPIOTE_WIDE16") == "1" else 8
+    wide = collapse_wide(bvh, tri9, width=wide_width)
     trav = wide.trav_rows
-    # +1: row[end_index] must exist — the kernel parks retiring rows with a
-    # pending leaf on it (an inert internal row) until the final flush.
-    Wp = _ceil_to(trav.shape[0] + 1, 8)
+    # +2: row[end_index] must exist — the kernel parks retiring rows with a
+    # pending leaf on it (an inert internal row) until the final flush —
+    # and the width-16 kernel unconditionally fetches row[fidx + 1].
+    Wp = _ceil_to(trav.shape[0] + 2, 8)
     trav = pad_rows(trav, Wp, 0.0)
     # Padded rows read as internal nodes with all-empty children.
     for c in range(8):
@@ -433,6 +440,7 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
         trav_rows=jnp.asarray(trav),
         wide_end=int(wide.end_index),
         wide_stack=int(wide_stack),
+        wide_width=int(wide.width),
         treelet=treelet_dev,
         num_leaves=L,
         leaf_cap=int(max(bvh.count.max() if bvh.count.size else 1,

@@ -53,15 +53,20 @@ def rng():
     return np.random.default_rng(42)
 
 
-def pytest_collection_modifyitems(config, items):
-    """Run the sharded-compile tests (heaviest XLA CPU programs) first:
-    late in a long suite process their compilation segfaults inside
-    XLA:CPU (observed at backend_compile_and_load with ~60 prior
-    compilations; passes reliably in a fresh or young process)."""
-    early = [it for it in items if "test_parallel" in it.nodeid
-             or "test_multichip" in it.nodeid]
-    rest = [it for it in items if it not in early]
-    items[:] = early + rest
+import os as _os
+
+if _os.environ.get("LOUPIOTE_TEST_REORDER") == "1":
+    # Round-3 scaffolding, retained behind an opt-in flag: running the
+    # sharded-compile tests first dodged an XLA:CPU segfault in
+    # backend_compile_and_load after ~60 accumulated compiles. Round 4
+    # verified the suite passes in natural order with the per-module
+    # clear_caches fixture + per-test persistent cache; re-enable with
+    # LOUPIOTE_TEST_REORDER=1 if the segfault ever reappears.
+    def pytest_collection_modifyitems(config, items):
+        early = [it for it in items if "test_parallel" in it.nodeid
+                 or "test_multichip" in it.nodeid]
+        rest = [it for it in items if it not in early]
+        items[:] = early + rest
 
 
 @pytest.fixture(autouse=True, scope="module")

@@ -141,3 +141,85 @@ def test_collapse_wide_properties():
     # Leaf coverage: every BVH2 leaf appears exactly once.
     kinds = wide.trav_rows[:, 127].view(np.int32)
     assert (kinds == 1).sum() == (bvh.count > 0).sum()
+
+
+@pytest.fixture(scope="module")
+def tri_scene16():
+    """Same geometry as tri_scene, built with the 16-ary (two-row-node)
+    collapse (LOUPIOTE_WIDE16=1 path, accel/wide.py width=16)."""
+    import os
+
+    rng = np.random.default_rng(4321)
+    n = 500
+    v0, v1, v2 = random_tris(rng, n, spread=10.0, size=1.0)
+    scene = Scene.default()
+    pos = np.empty((n * 3, 3), np.float32)
+    pos[0::3], pos[1::3], pos[2::3] = v0, v1, v2
+    scene.meshes.append(Mesh(pos, None, None,
+                             np.arange(n * 3, dtype=np.uint32)))
+    scene.instances.append(Instance(0, np.eye(4, dtype=np.float32), 0))
+    os.environ["LOUPIOTE_WIDE16"] = "1"
+    try:
+        bufs = build_scene_buffers(scene)
+    finally:
+        del os.environ["LOUPIOTE_WIDE16"]
+    assert bufs.wide_width == 16
+    return bufs, (v0, v1, v2)
+
+
+def test_wide16_table_structure(tri_scene16):
+    bufs, _ = tri_scene16
+    rows = np.asarray(bufs.trav_rows)
+    kinds = rows[:bufs.wide_end, 127].view(np.int32)
+    from loupiote_tpu.accel.wide import LEAF_MASK, LEAF_TAG
+
+    # Internal nodes span two rows, both tagged kind 0; node pointers are
+    # even (first-row) indices, leaf pointers carry the tag bit.
+    wide_rows = np.flatnonzero(kinds == 0)
+    first_rows = wide_rows[::2]
+    for c in range(16):
+        r_off, b = divmod(c, 8)
+        ptr = rows[first_rows + r_off, 16 * b + 6].view(np.int32)
+        tagged = (ptr >= 0) & (ptr & LEAF_TAG > 0)
+        idx = ptr & LEAF_MASK
+        assert ((ptr == -1) | ((idx >= 0) & (idx < bufs.wide_end))).all()
+        assert (rows[idx[tagged], 127].view(np.int32) == 1).all()
+        internal = (ptr >= 0) & ~tagged
+        assert (ptr[internal] % 2 == 0).all()  # first-row addresses
+    fc = rows[:bufs.wide_end][kinds == 1][:, 126].view(np.int32)
+    assert int((fc & 15).sum()) == bufs.num_tris
+
+
+def test_wide16_matches_simt(tri_scene16):
+    bufs, tris = tri_scene16
+    ro, rd = _rays(tris, TILE)
+    ref = intersect_rays(bufs, ro, rd)
+    out = intersect_wide(bufs, ro, rd, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.t), np.asarray(ref.t),
+                               rtol=1e-4)
+    mismatch = np.asarray(ref.tri) != np.asarray(out.tri)
+    assert mismatch.mean() < 0.005  # t-ties may pick either triangle
+
+
+def test_wide16_anyhit_matches(tri_scene16):
+    bufs, tris = tri_scene16
+    ro, rd = _rays(tris, TILE, seed=78)
+    for dval in (3.0, 1e30):
+        dist = jnp.full(TILE, dval)
+        ref = intersect_rays(bufs, ro, rd, tmax=dist, any_hit=True)
+        out = occluded_wide(bufs, ro, rd, dist, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(ref.tri) >= 0)
+
+
+def test_wide16_nodrain_matches(tri_scene16, monkeypatch):
+    """The LOUPIOTE_NO_DRAIN kill-switch path must also be exact at 16."""
+    import os
+
+    bufs, tris = tri_scene16
+    ro, rd = _rays(tris, TILE, seed=91)
+    monkeypatch.setenv("LOUPIOTE_NO_DRAIN", "1")
+    out = intersect_wide(bufs, ro, rd, interpret=True)
+    ref = intersect_rays(bufs, ro, rd)
+    np.testing.assert_allclose(np.asarray(out.t), np.asarray(ref.t),
+                               rtol=1e-4)
