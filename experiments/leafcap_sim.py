@@ -46,6 +46,12 @@ def build_cluster_tree(bvh, width, leaf_row_cap):
 
 
 def main(n_cells=3):
+    import jax
+
+    # Pure host-replay experiment: force CPU in-process (the axon
+    # sitecustomize ignores the env var; with the tunnel down, touching
+    # the TPU backend raises).
+    jax.config.update("jax_platforms", "cpu")
     from width_sim import simulate
 
     from loupiote_tpu.accel.bvh import FlatBVH

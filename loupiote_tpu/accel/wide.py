@@ -43,8 +43,9 @@ class WideBVH:
     num_leaf_rows: int
     stack_need: int  # max stack entries any traversal order can require
     end_index: int  # first row PAST the table (termination sentinel)
-    leaf_row_max: int = LEAF_ROW_CAP  # max triangles in any leaf row
+    leaf_row_max: int = LEAF_ROW_CAP  # max triangles in any ONE leaf row
     width: int = WIDTH  # children per internal node (8 = 1 row, 16 = 2)
+    leaf_rows: int = 1  # consecutive 128-lane rows per leaf (14 tris each)
 
 
 def _surface_area(bmin, bmax):
@@ -294,7 +295,8 @@ def _octant_slots(bvh: FlatBVH, mem: list[int], width: int):
 
 
 def collapse_wide(bvh: FlatBVH, tri9: np.ndarray,
-                  width: int = WIDTH, dp: bool = True) -> WideBVH:
+                  width: int = WIDTH, dp: bool = True,
+                  leaf_rows: int = 1) -> WideBVH:
     """Collapse a threaded BVH2 into the unified wide row table.
 
     ``tri9``: (T, 9) float32 [p0, e1, e2] per triangle in BVH leaf order
@@ -307,22 +309,31 @@ def collapse_wide(bvh: FlatBVH, tri9: np.ndarray,
     ``rows[ptr]`` and ``rows[ptr + 1]``. The width-16 step count is ~16%
     lower on the arch-260k diffuse wave (experiments/width_sim.py) at the
     cost of one extra (latency-hidden) fetch per internal step.
+
+    ``leaf_rows`` N >= 1: every leaf spans N consecutive rows (up to
+    14*N triangles; the DP merges bigger subtrees), addressed by the
+    FIRST row. A flush MT-tests all N rows — vector ops are nearly free
+    under the latency-bound cost model (MT x2 measured +3%), while the
+    merged leaves remove whole internal AND leaf steps
+    (experiments/leafcap_sim.py).
     """
     count = bvh.count
     is_leaf = count > 0
-    assert width in (8, 16)
+    assert width in (8, 16) and 1 <= leaf_rows <= 4
     rpn = width // WIDTH  # rows per internal node
+    lrn = leaf_rows
+    cap = LEAF_ROW_CAP * lrn
 
     if dp:
         (wide_children, wide_of, leaf_nodes, leaf_row_of, tris,
-         firstmin) = _dp_clusters(bvh, width)
+         firstmin) = _dp_clusters(bvh, width, leaf_row_cap=cap)
     else:
         wide_children, wide_of, leaf_nodes, leaf_row_of = _build_clusters(
             bvh, width)
         tris = None
     W = len(wide_children)
     L = len(leaf_nodes)
-    rows = np.zeros((W * rpn + L, 128), np.float32)
+    rows = np.zeros((W * rpn + L * lrn, 128), np.float32)
 
     def _i32(x):
         return np.float32(np.int32(x).view(np.float32))
@@ -351,7 +362,7 @@ def collapse_wide(bvh: FlatBVH, tri9: np.ndarray,
                 rows[r, b + 3:b + 6] = bvh.node_max[m]
                 # Leaf children carry the tag bit so the kernel can defer
                 # leaf processing without fetching the row first.
-                ptr = ((W * rpn + leaf_row_of[m]) | LEAF_TAG
+                ptr = ((W * rpn + leaf_row_of[m] * lrn) | LEAF_TAG
                        if m in leaf_row_of else wide_of[m] * rpn)
                 rows[r, b + 6] = _i32(ptr)
             else:
@@ -361,17 +372,22 @@ def collapse_wide(bvh: FlatBVH, tri9: np.ndarray,
         for rr in range(rpn):
             rows[w * rpn + rr, 127] = _i32(0)
 
-    # Leaf rows.
+    # Leaf rows: each leaf's triangles split across lrn consecutive rows,
+    # every row self-describing via its own (first, count) word so the
+    # flush MT block needs no cross-row bookkeeping.
     for li, n2 in enumerate(leaf_nodes):
-        r = W * rpn + li
         f, c = leaf_fc(n2)
-        assert c <= LEAF_ROW_CAP
-        block = tri9[f:f + c].reshape(-1)
-        rows[r, :block.size] = block
-        for k in range(c, LEAF_ROW_CAP):
-            rows[r, 9 * k:9 * k + 3] = 1e30  # degenerate: never hits
-        rows[r, 126] = _i32((f << 4) | c)
-        rows[r, 127] = _i32(1)
+        assert c <= cap
+        for j in range(lrn):
+            r = W * rpn + li * lrn + j
+            fj = f + LEAF_ROW_CAP * j
+            cj = min(max(c - LEAF_ROW_CAP * j, 0), LEAF_ROW_CAP)
+            block = tri9[fj:fj + cj].reshape(-1)
+            rows[r, :block.size] = block
+            for k in range(cj, LEAF_ROW_CAP):
+                rows[r, 9 * k:9 * k + 3] = 1e30  # degenerate: never hits
+            rows[r, 126] = _i32((fj << 4) | cj)
+            rows[r, 127] = _i32(1)
 
     # Worst-case stack need: pushing (k-1) children then descending.
     need = np.zeros(W + 1, np.int64)  # need[W] unused pad
@@ -392,7 +408,8 @@ def collapse_wide(bvh: FlatBVH, tri9: np.ndarray,
     stack_need = int(_need_memo[0]) + 2 if W else 2
     del need
 
-    leaf_row_max = max((leaf_fc(n2)[1] for n2 in leaf_nodes), default=1)
+    leaf_row_max = max((min(leaf_fc(n2)[1], LEAF_ROW_CAP)
+                        for n2 in leaf_nodes), default=1)
     return WideBVH(trav_rows=rows, num_wide=W, num_leaf_rows=L,
-                   stack_need=stack_need, end_index=W * rpn + L,
-                   leaf_row_max=leaf_row_max, width=width)
+                   stack_need=stack_need, end_index=W * rpn + L * lrn,
+                   leaf_row_max=leaf_row_max, width=width, leaf_rows=lrn)

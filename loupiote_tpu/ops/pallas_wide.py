@@ -163,7 +163,8 @@ def _wide_kernel(rows_ref,
                  t_out, tri_out,
                  *, end_index: int, any_hit: bool, max_steps: int,
                  leaf_cap: int, stack_size: int,
-                 flush_fill: int = 6, ablate: str = "", width: int = WIDTH):
+                 flush_fill: int = 6, ablate: str = "", width: int = WIDTH,
+                 leaf_rows: int = 1):
     END = jnp.int32(end_index)
     # Sub-packet rows per grid cell: derived from the block shape. 8 is
     # the native f32 tile; 16/32 amortize the fixed per-step loop
@@ -257,14 +258,28 @@ def _wide_kernel(rows_ref,
             nt, ntri = _moller_trumbore(
                 rows2, ray, occ, (t_ref[...], best_tri),
                 leaf_cap, any_hit, tri_ref if any_hit else None)
+            # Multi-row leaves: rows pend+1..pend+lrn-1 hold the leaf's
+            # remaining triangles (each row self-describing; empty tail
+            # rows carry count 0). Extra MT math is nearly free under the
+            # latency-bound cost model (x2 measured +3%); the fetches are
+            # address-derived, riding the same chain position.
+            pmax = jnp.maximum(pendA, 0)
+            for j in range(1, leaf_rows):
+                rows2j = jnp.concatenate(
+                    [rows_ref[pl.ds(pmax[s, 0] + j, 1), :]
+                     for s in range(sub)], axis=0)
+                nt, ntri = _moller_trumbore(
+                    rows2j, ray, occ, (nt, ntri),
+                    leaf_cap, any_hit, tri_ref if any_hit else None)
             # Second pend slot (filled by the leaf-draining pop phase).
             pmaxB = jnp.maximum(pendB, 0)
-            rows2b = jnp.concatenate(
-                [rows_ref[pl.ds(pmaxB[s, 0], 1), :]
-                 for s in range(sub)], axis=0)
-            nt, ntri = _moller_trumbore(
-                rows2b, ray, occB, (nt, ntri),
-                leaf_cap, any_hit, tri_ref if any_hit else None)
+            for j in range(leaf_rows):
+                rows2b = jnp.concatenate(
+                    [rows_ref[pl.ds(pmaxB[s, 0] + j, 1), :]
+                     for s in range(sub)], axis=0)
+                nt, ntri = _moller_trumbore(
+                    rows2b, ray, occB, (nt, ntri),
+                    leaf_cap, any_hit, tri_ref if any_hit else None)
             # Census duplication (results provably unchanged: re-testing
             # the same triangles against the already-updated t finds no
             # strictly-closer hit, so the second pass is a timing-only
@@ -589,18 +604,20 @@ def _wide_kernel(rows_ref,
 @functools.partial(jax.jit,
                    static_argnames=("any_hit", "end_index", "interpret",
                                     "leaf_cap", "stack_size", "max_steps",
-                                    "flush_fill", "ablate", "width"))
+                                    "flush_fill", "ablate", "width",
+                                    "leaf_rows"))
 def _wide_trace(trav_rows, ox, oy, oz, dx, dy, dz, t0, act,
                 *, any_hit: bool, end_index: int, max_steps: int,
                 interpret: bool = False, leaf_cap: int = LEAF_CAP,
                 stack_size: int = 64, flush_fill: int = 6,
-                ablate: str = "", width: int = WIDTH):
+                ablate: str = "", width: int = WIDTH,
+                leaf_rows: int = 1):
     G, sub = ox.shape[0], ox.shape[1]
     kernel = functools.partial(_wide_kernel, end_index=end_index,
                                any_hit=any_hit, leaf_cap=leaf_cap,
                                max_steps=max_steps, stack_size=stack_size,
                                flush_fill=flush_fill, ablate=ablate,
-                               width=width)
+                               width=width, leaf_rows=leaf_rows)
     grid_spec = pl.GridSpec(
         grid=(G,),
         in_specs=[
@@ -680,7 +697,8 @@ def intersect_wide(scene, ro, rd, tmax=None, active=None,
         interpret=interpret,
         leaf_cap=int(getattr(scene, "leaf_cap", LEAF_CAP)),
         stack_size=int(scene.wide_stack), ablate=ablate,
-        width=int(getattr(scene, "wide_width", WIDTH)))
+        width=int(getattr(scene, "wide_width", WIDTH)),
+        leaf_rows=int(getattr(scene, "wide_leaf_rows", 1)))
 
     tri = tri.reshape(R)[:R0]
     if any_hit:

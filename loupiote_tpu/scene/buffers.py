@@ -101,6 +101,7 @@ class SceneBuffers:
     wide_end: int = struct.field(pytree_node=False, default=0)
     wide_stack: int = struct.field(pytree_node=False, default=64)
     wide_width: int = struct.field(pytree_node=False, default=8)
+    wide_leaf_rows: int = struct.field(pytree_node=False, default=1)
 
     # Shading attribute packs: ONE row gather per hit instead of ~11
     # (gathers cost ~row-count, not row-width, on TPU).
@@ -355,7 +356,9 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
     from ..accel.wide import collapse_wide
 
     wide_width = 16 if _os.environ.get("LOUPIOTE_WIDE16") == "1" else 8
-    wide = collapse_wide(bvh, tri9, width=wide_width)
+    wide_leaf_rows = int(_os.environ.get("LOUPIOTE_LEAF_ROWS", "1"))
+    wide = collapse_wide(bvh, tri9, width=wide_width,
+                         leaf_rows=wide_leaf_rows)
     trav = wide.trav_rows
     # +2: row[end_index] must exist — the kernel parks retiring rows with a
     # pending leaf on it (an inert internal row) until the final flush —
@@ -441,6 +444,7 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
         wide_end=int(wide.end_index),
         wide_stack=int(wide_stack),
         wide_width=int(wide.width),
+        wide_leaf_rows=int(wide.leaf_rows),
         treelet=treelet_dev,
         num_leaves=L,
         leaf_cap=int(max(bvh.count.max() if bvh.count.size else 1,

@@ -223,3 +223,84 @@ def test_wide16_nodrain_matches(tri_scene16, monkeypatch):
     ref = intersect_rays(bufs, ro, rd)
     np.testing.assert_allclose(np.asarray(out.t), np.asarray(ref.t),
                                rtol=1e-4)
+
+
+@pytest.fixture(scope="module", params=[(8, 2), (16, 2)],
+                ids=["w8lr2", "w16lr2"])
+def tri_scene_lr(request):
+    """Multi-row-leaf variants (LOUPIOTE_LEAF_ROWS=2): leaves span two
+    consecutive rows (up to 28 triangles), alone and stacked with the
+    16-ary collapse."""
+    import os
+
+    width, lrows = request.param
+    rng = np.random.default_rng(4321)
+    n = 500
+    v0, v1, v2 = random_tris(rng, n, spread=10.0, size=1.0)
+    scene = Scene.default()
+    pos = np.empty((n * 3, 3), np.float32)
+    pos[0::3], pos[1::3], pos[2::3] = v0, v1, v2
+    scene.meshes.append(Mesh(pos, None, None,
+                             np.arange(n * 3, dtype=np.uint32)))
+    scene.instances.append(Instance(0, np.eye(4, dtype=np.float32), 0))
+    if width == 16:
+        os.environ["LOUPIOTE_WIDE16"] = "1"
+    os.environ["LOUPIOTE_LEAF_ROWS"] = str(lrows)
+    try:
+        bufs = build_scene_buffers(scene)
+    finally:
+        os.environ.pop("LOUPIOTE_WIDE16", None)
+        del os.environ["LOUPIOTE_LEAF_ROWS"]
+    assert bufs.wide_leaf_rows == lrows and bufs.wide_width == width
+    return bufs, (v0, v1, v2)
+
+
+def test_leaf_rows_table_structure(tri_scene_lr):
+    from loupiote_tpu.accel.wide import LEAF_MASK, LEAF_TAG
+
+    bufs, _ = tri_scene_lr
+    lrn = bufs.wide_leaf_rows
+    rows = np.asarray(bufs.trav_rows)
+    kinds = rows[:bufs.wide_end, 127].view(np.int32)
+    wide_rows = np.flatnonzero(kinds == 0)
+    first_leaf = bufs.wide_end - 1
+    # Leaf pointers land on lrn-strided first rows; all lrn rows of a
+    # leaf are tagged kind 1.
+    for c in range(bufs.wide_width):
+        r_off, b = divmod(c, 8)
+        rpn = bufs.wide_width // 8
+        ptr = rows[wide_rows[::rpn] + r_off, 16 * b + 6].view(np.int32)
+        tagged = (ptr >= 0) & (ptr & LEAF_TAG > 0)
+        idx = ptr & LEAF_MASK
+        for j in range(lrn):
+            assert (rows[idx[tagged] + j, 127].view(np.int32) == 1).all()
+        first_leaf = min(first_leaf, idx[tagged].min(initial=first_leaf))
+        n_wide_rows = len(wide_rows)
+        assert (((idx[tagged] - n_wide_rows) % lrn) == 0).all()
+    # Per-row triangle counts stay within one row's 14-slot budget and
+    # the whole table still covers every triangle exactly once.
+    fc = rows[:bufs.wide_end][kinds == 1][:, 126].view(np.int32)
+    assert (fc & 15).max() <= 14
+    assert int((fc & 15).sum()) == bufs.num_tris
+
+
+def test_leaf_rows_matches_simt(tri_scene_lr):
+    bufs, tris = tri_scene_lr
+    ro, rd = _rays(tris, TILE)
+    ref = intersect_rays(bufs, ro, rd)
+    out = intersect_wide(bufs, ro, rd, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.t), np.asarray(ref.t),
+                               rtol=1e-4)
+    mismatch = np.asarray(ref.tri) != np.asarray(out.tri)
+    assert mismatch.mean() < 0.005  # t-ties may pick either triangle
+
+
+def test_leaf_rows_anyhit_matches(tri_scene_lr):
+    bufs, tris = tri_scene_lr
+    ro, rd = _rays(tris, TILE, seed=78)
+    for dval in (3.0, 1e30):
+        dist = jnp.full(TILE, dval)
+        ref = intersect_rays(bufs, ro, rd, tmax=dist, any_hit=True)
+        out = occluded_wide(bufs, ro, rd, dist, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(ref.tri) >= 0)
