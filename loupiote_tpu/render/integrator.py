@@ -54,16 +54,17 @@ def _slab_sort_on() -> bool:
     return os.environ.get("LOUPIOTE_SLAB_SORT") == "1"
 
 
-def _slab_sort_state(key, state, pid):
-    """Permute (state, pid) by the slab-local sort of ``key``: every leaf
-    column rides the one Pallas dispatch as payload."""
+def _slab_sort_state(key, bundle):
+    """Permute every array in the ``bundle`` pytree by the slab-local
+    sort of ``key``: each leaf column rides the one Pallas dispatch as
+    payload."""
     from ..ops.intersect import _pallas_enabled
     from ..ops.slab_sort import slab_sort
 
     interpret = not _pallas_enabled()
-    leaves, treedef = jax.tree.flatten(state)
+    leaves, treedef = jax.tree.flatten(bundle)
     cols, widths = [], []
-    for leaf in leaves + [pid]:
+    for leaf in leaves:
         if leaf.ndim == 2:
             widths.append(leaf.shape[1])
             cols.extend(leaf[:, c] for c in range(leaf.shape[1]))
@@ -79,7 +80,7 @@ def _slab_sort_state(key, state, pid):
         else:
             rebuilt.append(out[i])
             i += 1
-    return jax.tree.unflatten(treedef, rebuilt[:-1]), rebuilt[-1]
+    return jax.tree.unflatten(treedef, rebuilt)
 
 
 class GBuffer(NamedTuple):
@@ -167,19 +168,34 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
     # left in unsorted caller order — and the scatter-back is replaced
     # by one final pixel-id scatter of the radiance.
     pid = jnp.arange(R, dtype=jnp.int32)  # sorted-slot -> pixel index
+    slab_mode = _slab_sort_on()
+    # Slab-sort mode pre-generates the later bounces' blue-noise columns
+    # in PIXEL order (no gather) and lets them ride the sorts as payload
+    # — the per-bounce plane[pid] gathers (5 x R each) were frame glue.
+    noise_pre = None
+    if slab_mode and do_sort and noise_tex is not None and bounces > 1:
+        noise_pre = jnp.concatenate(
+            [c for b in range(1, bounces)
+             for c in (bn(1 + 3 * b), bn(2 + 3 * b),
+                       bn(3 + 3 * b)[:, :1])], axis=1)  # (R, 5*(B-1))
     for bounce in range(bounces):
         if do_sort and bounce > 0:
             from ..ops.sort import ray_sort_key, sort_order
 
             key = ray_sort_key(state.ro, state.rd, state.alive,
                                scene_lo, scene_hi)
-            if _slab_sort_on():
+            if slab_mode:
                 # Slab-local Pallas regroup (ops/slab_sort.py): one kernel
                 # dispatch sorts 64k-ray slabs with the whole state as
                 # payload — measured equal packet coherence to the global
                 # sort (experiments/slab_sort_sim.py) without argsort +
                 # per-field HBM gathers.
-                state, pid = _slab_sort_state(key, state, pid)
+                bundle = ((state, pid) if noise_pre is None
+                          else (state, pid, noise_pre))
+                bundle = _slab_sort_state(key, bundle)
+                state, pid = bundle[0], bundle[1]
+                if noise_pre is not None:
+                    noise_pre = bundle[2]
             else:
                 order = sort_order(key)
                 state = jax.tree.map(lambda x: x[order], state)
@@ -200,16 +216,24 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
         light_uv = nee_uv if bounce == 0 else None
         bsdf_uv = lobe_u = None
         if noise_tex is not None:
-            def bn_here(dim):
-                plane = bn(dim)
-                # Blue-noise planes are pixel-ordered; route them through
-                # the sorted-state permutation when one is active.
-                return plane[pid] if (do_sort and bounce > 0) else plane
+            if noise_pre is not None and bounce > 0:
+                # Columns already ride the sorted state — no gather.
+                off = 5 * (bounce - 1)
+                if light_uv is None:
+                    light_uv = noise_pre[:, off:off + 2]
+                bsdf_uv = noise_pre[:, off + 2:off + 4]
+                lobe_u = noise_pre[:, off + 4]
+            else:
+                def bn_here(dim):
+                    plane = bn(dim)
+                    # Blue-noise planes are pixel-ordered; route them
+                    # through the sorted-state permutation when active.
+                    return plane[pid] if (do_sort and bounce > 0) else plane
 
-            if light_uv is None:
-                light_uv = bn_here(1 + 3 * bounce)
-            bsdf_uv = bn_here(2 + 3 * bounce)
-            lobe_u = bn_here(3 + 3 * bounce)[:, 0]
+                if light_uv is None:
+                    light_uv = bn_here(1 + 3 * bounce)
+                bsdf_uv = bn_here(2 + 3 * bounce)
+                lobe_u = bn_here(3 + 3 * bounce)[:, 0]
         state, _ = shade_step(scene, state, hit, k_step, nee=nee,
                               last=(bounce == bounces - 1),
                               light_uv=light_uv, bsdf_uv=bsdf_uv,
