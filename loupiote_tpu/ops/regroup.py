@@ -195,3 +195,73 @@ def counting_regroup(key: jnp.ndarray, payload: jnp.ndarray, n_keys: int,
                        out_rows=out_rows, chunk=chunk,
                        interpret=interpret)
     return out, starts, H
+
+
+def block_regroup(key: jnp.ndarray, ray: jnp.ndarray, n_keys: int,
+                  tile: int = 1024, chunk: int = CHUNK,
+                  slab_log: int = 16, interpret: bool = False):
+    """Group (key, ray) pairs into single-key blocks of ``tile`` pairs —
+    the treelet phase-2 layout (ops/treelet_pipeline.py) — replacing the
+    lax.sort + rank + scatter binning glue with the counting-scatter path.
+
+    Keys >= n_keys (the pipeline's dump-key empties) are dropped. Output
+    key regions are tile-aligned with a >= ``chunk`` spill gap, so every
+    ``tile``-pair block holds pairs of ONE key; padding lanes carry
+    on = 0 (phase 2 retires them immediately). Returns
+    (ray_out (B*tile,), sid_blocks (B,), on (B*tile,) int32) with static
+    B = (R + n_keys*(tile + chunk) + tile) / tile rounded up.
+    """
+    R = key.shape[0]
+    K = int(n_keys)
+    ks, (ray_s,) = slab_sort(key, [ray], slab_log=slab_log,
+                             interpret=interpret)
+    slab = 1 << min(slab_log, max((R - 1).bit_length(), 10))
+    Rp_in = -(-R // slab) * slab
+    G = Rp_in // slab
+    ks3 = jnp.pad(ks, (0, Rp_in - R),
+                  constant_values=jnp.int32(2**31 - 1)).reshape(G, slab)
+    ray3 = jnp.pad(ray_s, (0, Rp_in - R)).reshape(G, slab)
+
+    edges = jnp.arange(K + 1, dtype=jnp.int32)
+    ss = jax.vmap(lambda row: jnp.searchsorted(row, edges))(ks3)
+    C = (ss[:, 1:] - ss[:, :-1]).astype(jnp.int32)
+    H = C.sum(axis=0)
+    # Tile-aligned regions with a guaranteed spill gap: chunk <= gap < 
+    # tile + chunk.
+    region = (-(-(H + chunk) // tile) * tile).astype(jnp.int32)
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(region)[:-1]]).astype(jnp.int32)
+    cell_base = starts[None, :] + jnp.concatenate(
+        [jnp.zeros((1, K), jnp.int32),
+         jnp.cumsum(C, axis=0)[:-1]], axis=0)
+
+    present = C > 0
+    nruns = present.sum(axis=1).astype(jnp.int32)
+    pos = jnp.cumsum(present, axis=1) - 1
+    pos = jnp.where(present, pos, K)
+    g_idx = jnp.broadcast_to(jnp.arange(G)[:, None], (G, K))
+    run_src = jnp.zeros((G, K), jnp.int32).at[g_idx, pos].set(
+        ss[:, :-1].astype(jnp.int32), mode="drop")
+    run_dst = jnp.zeros((G, K), jnp.int32).at[g_idx, pos].set(
+        cell_base, mode="drop")
+    run_len = jnp.zeros((G, K), jnp.int32).at[g_idx, pos].set(
+        C, mode="drop")
+
+    # Static capacity: sum(region) <= sum(H) + K*(tile + chunk) <= bound.
+    out_rows = -(-(R + K * (tile + chunk) + tile) // tile) * tile
+    data2 = jnp.concatenate(
+        [ray3, jnp.zeros((G, chunk), jnp.int32)], axis=1)
+    out = scatter_runs(data2, nruns, run_src, run_dst, run_len,
+                       out_rows=out_rows, chunk=chunk,
+                       interpret=interpret)
+
+    B = out_rows // tile
+    block_start = jnp.arange(B, dtype=jnp.int32) * tile
+    sid_blocks = jnp.clip(
+        jnp.searchsorted(starts, block_start, side="right") - 1,
+        0, K - 1).astype(jnp.int32)
+    slot = jnp.arange(out_rows, dtype=jnp.int32)
+    sid_of_slot = jnp.repeat(sid_blocks, tile)
+    on = (slot - starts[sid_of_slot] < H[sid_of_slot]).astype(jnp.int32)
+    ray_out = jnp.clip(out, 0, R - 1)
+    return ray_out, sid_blocks, on

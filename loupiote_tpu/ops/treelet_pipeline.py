@@ -88,10 +88,11 @@ def _empty_tile_like(sub_fields: np.ndarray) -> np.ndarray:
 
 @functools.partial(jax.jit,
                    static_argnames=("num_top", "top_tiles", "num_subtrees",
-                                    "any_hit", "interpret"))
+                                    "any_hit", "interpret", "regroup"))
 def _treelet_core(top_fields, sub_fields, sub_tri_base, ro, rd, t0, act,
                   *, num_top: int, top_tiles: int, num_subtrees: int,
-                  any_hit: bool, interpret: bool = False):
+                  any_hit: bool, interpret: bool = False,
+                  regroup: str = "xla"):
     """Full pipeline minus the fallback. Returns (t, tri, fallback_mask)."""
     R = ro.shape[0]
     S = num_subtrees
@@ -123,6 +124,21 @@ def _treelet_core(top_fields, sub_fields, sub_tri_base, ro, rd, t0, act,
     ray_of = jnp.zeros(P_pad + 1, jnp.int32).at[dest0.reshape(-1)].set(
         jnp.repeat(jnp.arange(R, dtype=jnp.int32)[:, None], PEND_CAP,
                    axis=1).reshape(-1))[:P_pad]
+    if regroup == "count":
+        # Counting-scatter regroup (ops/regroup.py): slab sort + DMA
+        # scatter replaces the lax.sort + rank + padded-scatter glue
+        # below. Capacity is static-sufficient (tile-aligned regions over
+        # PAIR_BUDGET*R pairs), so no extra fallback arises here.
+        from .regroup import block_regroup
+
+        pair_ray, sid_blocks, pair_on = block_regroup(
+            key, ray_of, S, tile=TILE, interpret=interpret)
+        pair_sid = jnp.repeat(sid_blocks, TILE)
+        return _phase2_combine(sub_fields, sub_tri_base, ro, rd, t0,
+                               pair_ray, pair_sid, pair_on, sid_blocks,
+                               fallback, any_hit=any_hit,
+                               interpret=interpret)
+
     # This lax.sort is the pipeline's dominant cost at wave scale
     # (~1.6 s best case at 8.4M pairs) and the reason the pipeline stays
     # opt-in. The Pallas bitonic sort (ops/device_sort.py) was built to
@@ -159,9 +175,18 @@ def _treelet_core(top_fields, sub_fields, sub_tri_base, ro, rd, t0, act,
     pair_ray = pair_ray[:P_pad]
     pair_sid = pair_sid[:P_pad]
     pair_on = pair_on[:P_pad]
+    return _phase2_combine(sub_fields, sub_tri_base, ro, rd, t0,
+                           pair_ray, pair_sid, pair_on,
+                           pair_sid[::TILE], fallback,
+                           any_hit=any_hit, interpret=interpret)
 
-    # --- phase 2: per-lane subtree walks. --------------------------------
-    sid_blocks = pair_sid[::TILE]
+
+def _phase2_combine(sub_fields, sub_tri_base, ro, rd, t0, pair_ray,
+                    pair_sid, pair_on, sid_blocks, fallback, *,
+                    any_hit: bool, interpret: bool):
+    """Per-lane subtree walks over single-subtree blocks, then the
+    per-ray min over pairs (shared by both binning backends)."""
+    R = ro.shape[0]
     pro = ro[pair_ray]
     prd = rd[pair_ray]
     pt0 = t0[pair_ray]
@@ -195,10 +220,13 @@ def treelet_intersect(scene, ro, rd, tmax=None, active=None,
     act = (jnp.ones(R, jnp.int32) if active is None
            else active.astype(jnp.int32))
 
+    import os as _os
+
     t, tri, fallback = _treelet_core(
         td.top_fields, td.sub_fields, td.sub_tri_base, ro, rd, t0, act,
         num_top=td.num_top, top_tiles=td.top_tiles,
-        num_subtrees=td.num_subtrees, any_hit=any_hit, interpret=interpret)
+        num_subtrees=td.num_subtrees, any_hit=any_hit, interpret=interpret,
+        regroup=_os.environ.get("LOUPIOTE_REGROUP", "xla"))
 
     # Fallback lanes re-trace through the wide sub-packet kernel (exact
     # same tree); packets with no active lane retire on their first step.

@@ -97,3 +97,31 @@ def test_counting_regroup_single_cell():
         jnp.asarray(keys), jnp.asarray(payload), K, slab_log=10,
         interpret=True)
     _check_grouped(keys, payload, out, starts, counts, K)
+
+
+def test_block_regroup_blocks_single_key():
+    from loupiote_tpu.ops.regroup import block_regroup
+
+    rng = np.random.default_rng(6)
+    R, K, TILE = 6000, 23, 256
+    keys = rng.integers(0, K + 1, R).astype(np.int32)  # K == dump key
+    rays = rng.integers(0, R, R).astype(np.int32)
+    ray_out, sid_blocks, on = block_regroup(
+        jnp.asarray(keys), jnp.asarray(rays), K, tile=TILE,
+        slab_log=10, interpret=True)
+    ray_out, sid_blocks, on = (np.asarray(ray_out), np.asarray(sid_blocks),
+                               np.asarray(on))
+    B = len(sid_blocks)
+    assert ray_out.shape == (B * TILE,) and on.shape == (B * TILE,)
+    # Multiset per key: on-pairs of each block belong to the block's sid.
+    by_key = {}
+    for b in range(B):
+        sl = slice(b * TILE, (b + 1) * TILE)
+        vals = ray_out[sl][on[sl] > 0]
+        by_key.setdefault(int(sid_blocks[b]), []).extend(vals.tolist())
+    dump = keys > K - 1
+    for k in range(K):
+        want = sorted(rays[keys == k].tolist())
+        got = sorted(by_key.get(k, []))
+        assert got == want, f"key {k}"
+    assert sum(len(v) for v in by_key.values()) == int((~dump).sum())

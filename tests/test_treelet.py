@@ -171,3 +171,13 @@ def test_pipeline_budget_overflow_falls_back(pipeline_scene, rng,
 
 def test_pipeline_anyhit_vs_oracle(pipeline_scene, rng):
     _pipeline_vs_oracle(pipeline_scene, rng, any_hit=True)
+
+
+def test_pipeline_count_regroup_vs_oracle(pipeline_scene, rng,
+                                          monkeypatch):
+    """LOUPIOTE_REGROUP=count swaps the lax.sort binning for the
+    counting-scatter regroup (ops/regroup.py); results must match the
+    SIMT oracle exactly like the xla backend does."""
+    monkeypatch.setenv("LOUPIOTE_REGROUP", "count")
+    _pipeline_vs_oracle(pipeline_scene, rng, any_hit=False)
+    _pipeline_vs_oracle(pipeline_scene, rng, any_hit=True)
