@@ -41,8 +41,31 @@ def direction_octant(d: jnp.ndarray) -> jnp.ndarray:
 
 def ray_sort_key(ro: jnp.ndarray, rd: jnp.ndarray, alive: jnp.ndarray,
                  lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
-    """uint32 key: direction octant (major) + origin Morton; dead rays last."""
-    key = (direction_octant(rd) << 27) | (morton3(ro, lo, hi, bits=9) & 0x7FFFFFF)
+    """uint32 coherence key; dead rays last.
+
+    Two layouts (experiments/sortkey_sim.py, arch-260k diffuse replay):
+      oct_m9   direction octant major + origin Morton (round 1-3 key).
+      coarseN  top N Morton bits, then octant, then the remaining Morton
+               bits — rays are grouped into ~coarse spatial regions FIRST
+               and split by direction only within a region. N=9 measured
+               108.5 steps/packet vs 142.8 for oct_m9 (-24%): at packet
+               scale spatial locality dominates direction purity.
+    Selected by LOUPIOTE_SORT_KEY (oct_m9 | coarse<N>); default stays
+    oct_m9 until the device A/B lands (round-3 lesson).
+    """
+    import os
+
+    spec = os.environ.get("LOUPIOTE_SORT_KEY", "oct_m9")
+    m = morton3(ro, lo, hi, bits=9) & 0x7FFFFFF
+    oct_ = direction_octant(rd)
+    if spec.startswith("coarse"):
+        nb = int(spec[6:] or 9)
+        rest = jnp.uint32(27 - nb)
+        top = m >> rest
+        key = ((top << (rest + 3)) | (oct_ << rest)
+               | (m & ((jnp.uint32(1) << rest) - 1)))
+    else:
+        key = (oct_ << 27) | m
     return jnp.where(alive, key, DEAD_KEY)
 
 
