@@ -52,17 +52,19 @@ CHUNK = 256  # DMA copy granule (elements); also the per-key gap size
 
 def _scatter_kernel(nruns_ref, src_ref, dst_ref, len_ref, data_ref,
                     out_ref, *, chunk: int, max_wait: int = 1024):
-    """One grid step = one source cell. Tables arrive as (1, MAXR) SMEM
-    blocks; data as the cell's sorted (SLAB + chunk, 128-col) VMEM block;
-    out is the full (Rp,) array in ANY (HBM)."""
-    nr = nruns_ref[0, 0]
+    """One grid step = one source cell. Tables arrive as (1, 1, MAXR)
+    SMEM blocks over (G, 1, MAXR) arrays — Mosaic's tiling check requires
+    the last TWO block dims to equal the array dims (or be (8,128)-
+    divisible), so the grid-blocked dim must be third-from-last; data as
+    the cell's (1, 1, SP) VMEM block; out is the full (Rp,) array in ANY."""
+    nr = nruns_ref[0, 0, 0]
 
     def body(sem):
         def run_loop(state):
             r, issued = state
-            s = src_ref[0, r]
-            d = dst_ref[0, r]
-            ln = len_ref[0, r]
+            s = src_ref[0, 0, r]
+            d = dst_ref[0, 0, r]
+            ln = len_ref[0, 0, r]
             nch = (ln + chunk - 1) // chunk
 
             def chunk_loop(c, issued):
@@ -107,15 +109,15 @@ def scatter_runs(data2, nruns, src, dst, lens, *, out_rows: int,
         num_scalar_prefetch=0,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda g: (g, 0),
+            pl.BlockSpec((1, 1, 1), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, MAXR), lambda g: (g, 0),
+            pl.BlockSpec((1, 1, MAXR), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, MAXR), lambda g: (g, 0),
+            pl.BlockSpec((1, 1, MAXR), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, MAXR), lambda g: (g, 0),
+            pl.BlockSpec((1, 1, MAXR), lambda g: (g, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, SP), lambda g: (g, 0),
+            pl.BlockSpec((1, 1, SP), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -123,7 +125,7 @@ def scatter_runs(data2, nruns, src, dst, lens, *, out_rows: int,
 
     def kern(nruns_ref, src_ref, dst_ref, len_ref, data_ref, out_ref):
         _scatter_kernel(nruns_ref, src_ref, dst_ref, len_ref,
-                        data_ref.at[0], out_ref, chunk=chunk)
+                        data_ref.at[0, 0], out_ref, chunk=chunk)
 
     return pl.pallas_call(
         kern,
@@ -132,7 +134,9 @@ def scatter_runs(data2, nruns, src, dst, lens, *, out_rows: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(nruns.reshape(G, 1), src, dst, lens, data2)
+    )(nruns.reshape(G, 1, 1), src.reshape(G, 1, MAXR),
+      dst.reshape(G, 1, MAXR), lens.reshape(G, 1, MAXR),
+      data2.reshape(G, 1, SP))
 
 
 def counting_regroup(key: jnp.ndarray, payload: jnp.ndarray, n_keys: int,
