@@ -205,6 +205,18 @@ def section_cornell():
         from loupiote_tpu.parallel import make_mesh
 
         mesh = make_mesh()
+    # Dispatch-overhead floor (VERDICT r3 #4: separate compute from the
+    # tunnel): a trivial jit + the same 16-byte-class D2H fence the frame
+    # loop uses. On a local TPU host this is ~0; through the benchmarking
+    # tunnel it is the per-execute RPC cost every frame below also pays.
+    import jax.numpy as jnp
+    tiny = jax.jit(lambda v: (v * 1.0000001).sum())
+    np.asarray(tiny(jnp.arange(4.0)))
+    overhead = float("inf")
+    for i in range(8):
+        t0 = time.time()
+        np.asarray(tiny(jnp.arange(4.0) + i))
+        overhead = min(overhead, time.time() - t0)
     r = Renderer((WIDTH, HEIGHT), RenderConfig(downsample_factor=0.5),
                  mesh=mesh)
     r.set_resources(bufs2)
@@ -242,7 +254,11 @@ def section_cornell():
     # TPU host the same readback is milliseconds.
     return {"cornell_1spp_svgf_ms": round(dtc * 1000, 1),
             "cornell_fps": round(1.0 / dtc, 1),
-            "cornell_blit_ms": round(dtb * 1000, 1)}
+            "cornell_blit_ms": round(dtb * 1000, 1),
+            "dispatch_overhead_ms": round(overhead * 1000, 1),
+            "cornell_compute_ms": round((dtc - overhead) * 1000, 1),
+            "cornell_compute_fps": round(1.0 / max(dtc - overhead, 1e-9),
+                                         1)}
 
 
 SECTIONS = {"headline": section_headline, "waves": section_waves,
