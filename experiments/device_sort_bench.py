@@ -21,7 +21,7 @@ def main(n=8_388_608, chunk_log=16):
     import jax.numpy as jnp
     from jax import lax
 
-    from loupiote_tpu.ops.device_sort import device_sort
+    from experiments.treelet.device_sort import device_sort
 
     rng = np.random.default_rng(0)
     keys = rng.integers(0, 1 << 30, n, dtype=np.int32)

@@ -58,10 +58,22 @@ def main():
     best = {n: float("inf") for n, _ in CFGS}
     for i in range(5):
         for name, _ in CFGS:
-            t0 = time.time()
-            out = fns[name](bufs, jr.PRNGKey(10 + i))
-            jax.block_until_ready(out)
-            best[name] = min(best[name], time.time() - t0)
+            # The tunneled backend sporadically returns INVALID_ARGUMENT on
+            # a re-execute (transient; the same program ran fine during
+            # compile). Fail-soft per call so one flake can't void the run.
+            for attempt in range(3):
+                try:
+                    t0 = time.time()
+                    out = fns[name](bufs, jr.PRNGKey(10 + 7 * i + attempt))
+                    jax.block_until_ready(out)
+                    best[name] = min(best[name], time.time() - t0)
+                    break
+                except Exception as e:
+                    print(f"  {name} i={i} flake: {repr(e)[:90]}",
+                          flush=True)
+                    time.sleep(5)
+        print(f"round {i}: " + " ".join(
+            f"{n}={best[n]*1e3:.0f}ms" for n, _ in CFGS), flush=True)
     for name, _ in CFGS:
         print(f"{name:>7}: {best[name]*1e3:7.1f} ms", flush=True)
     print(f"sort glue  = full - nosort = "

@@ -27,7 +27,7 @@ def main():
     from measure_traversal import build, make_waves
 
     from loupiote_tpu.accel.bvh import FlatBVH
-    from loupiote_tpu.ops.lane_top import build_top_tables, lane_top_trace
+    from experiments.treelet.lane_top import build_top_tables, lane_top_trace
 
     bufs, cam = build()
     _, _, dro, drd, alive = make_waves(bufs, cam)

@@ -38,7 +38,7 @@ def main(R=2 ** 23, K=4096):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    from loupiote_tpu.ops.regroup import counting_regroup
+    from experiments.treelet.regroup import counting_regroup
     from loupiote_tpu.ops.slab_sort import slab_sort
 
     rng = np.random.default_rng(7)

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from loupiote_tpu.ops.regroup import block_regroup, counting_regroup
+from experiments.treelet.regroup import block_regroup, counting_regroup
 
 
 def main():

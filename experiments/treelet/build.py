@@ -38,7 +38,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .bvh import FlatBVH
+from loupiote_tpu.accel.bvh import FlatBVH
 
 ENTRY_CAP = 1023  # entries per subtree (id 1023 = END sentinel)
 SUB_END = 1023
@@ -80,7 +80,7 @@ def _subtree_sizes(bvh: FlatBVH):
 
 def build_treelet_tables(bvh: FlatBVH, cap: int = ENTRY_CAP,
                          min_top: int = 1) -> TreeletTables:
-    from ..ops.lane_top import ID_MASK, SUB, SUBP, TILE
+    from .lane_top import ID_MASK, SUB, SUBP, TILE
 
     N = bvh.num_nodes
     is_leaf = bvh.count > 0

@@ -50,6 +50,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from loupiote_tpu.ops.slab_sort import _asc_bit, _partner, _upper_bit
+
 LANES = 128
 I32_MAX = jnp.int32(2**31 - 1)
 
@@ -63,42 +65,7 @@ def _cmp_swap(k, v, kp, vp, take_min):
     return jnp.where(sel, kp, k), jnp.where(sel, vp, v)
 
 
-def _partner(x, d, rows):
-    """Partner values at XOR distance d within one (rows, 128) block."""
-    if d < LANES:
-        lane = lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
-        lo = (lane & d) == 0
-        # pltpu.roll needs a non-negative shift: -d == LANES - d (mod 128).
-        return jnp.where(lo, pltpu.roll(x, LANES - d, 1),
-                         pltpu.roll(x, d, 1))
-    dr = d // LANES
-    row = lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
-    lo = (row & dr) == 0
-    return jnp.where(lo, jnp.roll(x, -dr, 0), jnp.roll(x, dr, 0))
 
-
-def _upper_bit(d, rows):
-    """(rows, 128) bool: element is the upper member of its d-pair."""
-    if d < LANES:
-        lane = lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
-        return (lane & d) != 0
-    row = lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
-    return (row & (d // LANES)) != 0
-
-
-def _asc_bit(k_level, rows, c_log, chunk_bit):
-    """(rows, 128) bool: ascending flag = global-index bit ``k_level`` is
-    clear. Bits < c_log come from local iotas; higher bits from the chunk
-    id (``chunk_bit``: traced scalar 0/1)."""
-    if k_level < 7:
-        lane = lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
-        return ((lane >> k_level) & 1) == 0
-    if k_level < c_log:
-        row = lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
-        return ((row >> (k_level - 7)) & 1) == 0
-    # Broadcast the int and compare on-vector (cmpi -> i1); broadcasting
-    # a scalar bool lands in the same i8->i1 trunc Mosaic rejects.
-    return lax.broadcast(jnp.int32(chunk_bit), (rows, LANES)) == 0
 
 
 def _stage(kx, vx, j, k_level, rows, c_log, chunk_bit):

@@ -28,8 +28,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..accel.treelet import NUM_FIELDS, SUB_END
-from .intersect import T_MIN
+from .build import NUM_FIELDS, SUB_END
+from loupiote_tpu.ops.intersect import T_MIN
 
 SUB, SUBP = 8, 128
 TILE = SUB * SUBP

@@ -60,7 +60,7 @@ def build_top_tables(bvh, top_wide: int | None = None) -> TopTables:
         link either way — exactly the ordered threaded traversal with the
         subtree's work deferred to phase 2.
     """
-    from ..accel.wide import LEAF_TAG, collapse_wide_maps
+    from loupiote_tpu.accel.wide import LEAF_TAG, collapse_wide_maps
 
     count = bvh.count
     is_leaf = count > 0

@@ -33,8 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ..accel.treelet import SUB_END, build_treelets
-from .intersect import Hit, INVALID_TRI, T_FAR
+from .build import SUB_END, build_treelets
+from loupiote_tpu.ops.intersect import Hit, INVALID_TRI, T_FAR
 from .lane_bottom import TILE, lane_bottom_trace
 from .lane_top import PEND_CAP, TopTables, lane_top_trace
 
@@ -234,8 +234,8 @@ def treelet_intersect(scene, ro, rd, tmax=None, active=None,
     # whose unified row table exceeds the wide kernel's VMEM ceiling,
     # _wide_enabled is False and the streaming BVH2 kernel must serve the
     # fallback too (round-3 advisor finding).
-    from .intersect import _wide_enabled, intersect_packets
-    from .pallas_wide import intersect_wide
+    from loupiote_tpu.ops.intersect import _wide_enabled, intersect_packets
+    from loupiote_tpu.ops.pallas_wide import intersect_wide
 
     fb_act = fallback & (act > 0)
     if interpret or not _wide_enabled(scene):
@@ -249,7 +249,7 @@ def treelet_intersect(scene, ro, rd, tmax=None, active=None,
     tri = jnp.where(use_fb, fb.tri, tri)
 
     # u/v recomputed once for final hits (the pipeline tracks only t/tri).
-    from .intersect import recompute_uv
+    from loupiote_tpu.ops.intersect import recompute_uv
 
     u, v = recompute_uv(scene, ro, rd, tri)
     return Hit(t, tri, u, v)

@@ -45,7 +45,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .slab_sort import slab_sort
+from loupiote_tpu.ops.slab_sort import slab_sort
 
 CHUNK = 256  # DMA copy granule (elements); also the per-key gap size
 

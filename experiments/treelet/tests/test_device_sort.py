@@ -4,7 +4,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from loupiote_tpu.ops.device_sort import device_sort
+from experiments.treelet.device_sort import device_sort
 
 
 @pytest.mark.parametrize("n,chunk_log", [

@@ -11,8 +11,9 @@ import pytest
 from loupiote_tpu.accel.bvh import build_bvh
 from loupiote_tpu.accel.wide import LEAF_MASK, collapse_wide_maps
 from loupiote_tpu.ops.intersect import intersect_rays
-from loupiote_tpu.ops.lane_top import (ID_BITS, ID_MASK, PEND_CAP, TILE,
-                                       build_top_tables, lane_top_trace)
+from experiments.treelet.lane_top import (ID_BITS, ID_MASK, PEND_CAP,
+                                           TILE, build_top_tables,
+                                           lane_top_trace)
 from loupiote_tpu.scene import Scene, build_scene_buffers
 from loupiote_tpu.scene.types import Instance, Mesh
 

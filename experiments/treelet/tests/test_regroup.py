@@ -10,7 +10,7 @@ import pytest
 
 jnp = pytest.importorskip("jax.numpy")
 
-from loupiote_tpu.ops.regroup import counting_regroup, scatter_runs  # noqa: E402
+from experiments.treelet.regroup import counting_regroup, scatter_runs  # noqa: E402
 
 
 def _check_grouped(keys, payload, out, starts, counts, K):
@@ -100,7 +100,7 @@ def test_counting_regroup_single_cell():
 
 
 def test_block_regroup_blocks_single_key():
-    from loupiote_tpu.ops.regroup import block_regroup
+    from experiments.treelet.regroup import block_regroup
 
     rng = np.random.default_rng(6)
     R, K, TILE = 6000, 23, 256

@@ -12,7 +12,7 @@ import pytest
 jnp = pytest.importorskip("jax.numpy")
 
 from loupiote_tpu.accel.bvh import build_bvh  # noqa: E402
-from loupiote_tpu.accel.treelet import (NUM_FIELDS, SUB_END,  # noqa: E402
+from experiments.treelet.build import (NUM_FIELDS, SUB_END,  # noqa: E402
                                         build_treelets, walk_subtree_ref)
 from loupiote_tpu.ops.intersect import intersect_rays  # noqa: E402
 
@@ -110,7 +110,7 @@ def pipeline_scene(rng):
 
 
 def _pipeline_vs_oracle(bufs, rng, any_hit):
-    from loupiote_tpu.ops.treelet_pipeline import treelet_intersect
+    from experiments.treelet.pipeline import treelet_intersect
 
     R = 2048
     ro = ((rng.random((R, 3)) - 0.5) * 10).astype(np.float32)
@@ -152,7 +152,7 @@ def test_pipeline_budget_overflow_falls_back(pipeline_scene, rng,
                                              monkeypatch):
     """A starved pair budget must route rays through the wide-kernel
     fallback, never silently drop geometry."""
-    import loupiote_tpu.ops.treelet_pipeline as tp
+    import experiments.treelet.pipeline as tp
 
     monkeypatch.setattr(tp, "PAIR_BUDGET", 1)
     R = 1024  # fresh shape -> fresh trace picks up the patched budget

@@ -25,7 +25,7 @@ def main(which="both"):
 
     from loupiote_tpu.ops.pallas_wide import intersect_wide, occluded_wide
     from loupiote_tpu.ops.sort import ray_sort_key, sort_order
-    from loupiote_tpu.ops.treelet_pipeline import (treelet_intersect,
+    from experiments.treelet.pipeline import (treelet_intersect,
                                                    treelet_occluded)
 
     t0 = time.time()

@@ -28,9 +28,9 @@ def main(sample=40_000):
     from measure_traversal import build
 
     from loupiote_tpu.accel.bvh import FlatBVH
-    from loupiote_tpu.accel.treelet import build_treelet_tables
-    from loupiote_tpu.ops.lane_top import ID_BITS as TOP_ID_BITS
-    from loupiote_tpu.ops.lane_top import ID_MASK
+    from experiments.treelet.build import build_treelet_tables
+    from experiments.treelet.lane_top import ID_BITS as TOP_ID_BITS
+    from experiments.treelet.lane_top import ID_MASK
 
     t0 = time.time()
     bufs, cam = build()
@@ -151,7 +151,7 @@ def main(sample=40_000):
     # Phase-2 walk-length distribution (lockstep cost driver): walk each
     # sampled pair with the reference walker; report per-pair steps and the
     # max/mean ratio over sorted 1024-pair blocks.
-    from loupiote_tpu.accel.treelet import walk_subtree_ref
+    from experiments.treelet.build import walk_subtree_ref
 
     rs, ss, ls = [], [], []
     take = min(len(pends), 6000)

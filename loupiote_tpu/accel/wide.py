@@ -189,8 +189,9 @@ def _dp_clusters(bvh: FlatBVH, width: int = WIDTH,
 def _build_clusters(bvh: FlatBVH, width: int = WIDTH):
     """Greedy largest-surface-area collapse of the BVH2 into clusters of up
     to ``width`` frontier members. Returns (wide_children, wide_of,
-    leaf_nodes, leaf_row_of) — shared by collapse_wide and the per-lane
-    top-table builder (ops/lane_top.py), which must agree exactly."""
+    leaf_nodes, leaf_row_of) — shared by collapse_wide and the archived
+    per-lane top-table builder (experiments/treelet/lane_top.py), which
+    must agree exactly."""
     count = bvh.count
     right = bvh.right
     is_leaf = count > 0

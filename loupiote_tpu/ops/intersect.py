@@ -337,8 +337,10 @@ _WIDE_MAX_BYTES = 96 * 1024 * 1024  # trav_rows maps whole into VMEM
 
 
 def _treelet_enabled(scene) -> bool:
-    """Two-phase per-lane pipeline (ops/treelet_pipeline.py). Opt-in via
-    LOUPIOTE_TREELET=1 while the A/B evidence accumulates."""
+    """Archived two-phase per-lane pipeline (experiments/treelet/) — CLOSED
+    by round-4 device measurement (0.87x diffuse / 0.29x shadow vs the wide
+    kernel even with uncontended XLA sort). The hook remains only so the
+    archived A/B benches can re-run; requires the repo root on sys.path."""
     import os
 
     return (os.environ.get("LOUPIOTE_TREELET") == "1"
@@ -400,7 +402,7 @@ def intersect_any(scene, ro, rd, tmax=None, active=None,
         return Hit(hit.t[:R], hit.tri[:R], hit.u[:R], hit.v[:R])
     if R % PACKET_SIZE == 0 and _pallas_enabled():
         if _treelet_enabled(scene):
-            from .treelet_pipeline import treelet_intersect
+            from experiments.treelet.pipeline import treelet_intersect
 
             return treelet_intersect(scene, ro, rd, tmax=tmax,
                                      active=active, any_hit=any_hit)

@@ -29,10 +29,53 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .device_sort import _asc_bit, _partner, _upper_bit
+from jax import lax
 
 LANES = 128
 I32_MAX = jnp.int32(2**31 - 1)
+
+
+# Bitonic-network primitives, shared with the archived global bitonic sort
+# (experiments/treelet/device_sort.py — measured slower than XLA's sort,
+# kept as a negative result; this slab-local form measured FASTER:
+# 10.6 vs 12.3 ns/elem on device, round 4).
+
+def _partner(x, d, rows):
+    """Partner values at XOR distance d within one (rows, 128) block."""
+    if d < LANES:
+        lane = lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+        lo = (lane & d) == 0
+        # pltpu.roll needs a non-negative shift: -d == LANES - d (mod 128).
+        return jnp.where(lo, pltpu.roll(x, LANES - d, 1),
+                         pltpu.roll(x, d, 1))
+    dr = d // LANES
+    row = lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+    lo = (row & dr) == 0
+    return jnp.where(lo, jnp.roll(x, -dr, 0), jnp.roll(x, dr, 0))
+
+
+def _upper_bit(d, rows):
+    """(rows, 128) bool: element is the upper member of its d-pair."""
+    if d < LANES:
+        lane = lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+        return (lane & d) != 0
+    row = lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+    return (row & (d // LANES)) != 0
+
+
+def _asc_bit(k_level, rows, c_log, chunk_bit):
+    """(rows, 128) bool: ascending flag = global-index bit ``k_level`` is
+    clear. Bits < c_log come from local iotas; higher bits from the chunk
+    id (``chunk_bit``: traced scalar 0/1)."""
+    if k_level < 7:
+        lane = lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+        return ((lane >> k_level) & 1) == 0
+    if k_level < c_log:
+        row = lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+        return ((row >> (k_level - 7)) & 1) == 0
+    # Broadcast the int and compare on-vector (cmpi -> i1); broadcasting
+    # a scalar bool lands in the same i8->i1 trunc Mosaic rejects.
+    return lax.broadcast(jnp.int32(chunk_bit), (rows, LANES)) == 0
 
 
 def _slab_kernel(k_ref, *refs, c_log: int, n_payload: int):

@@ -75,7 +75,8 @@ def sort_order(key: jnp.ndarray) -> jnp.ndarray:
 
 def sort_order_fast(key: jnp.ndarray) -> jnp.ndarray:
     """argsort(key); the name is kept for the experiment record. The
-    Pallas global bitonic sort (ops/device_sort.py) was built to replace
+    Pallas global bitonic sort (experiments/treelet/device_sort.py) was
+    built to replace
     this and MEASURED SLOWER on v5e: 437 ms vs 194 ms argsort at 2M keys,
     5.4 s vs 3.3 s lax.sort at 8.4M pairs (same contended window) —
     ~650 ns/element, the O(log^2 n) compare-swap stages are pure VPU roll

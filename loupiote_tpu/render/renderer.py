@@ -537,7 +537,7 @@ class Renderer:
     _RELOADABLE = (
         "loupiote_tpu.ops.raygen", "loupiote_tpu.ops.intersect",
         "loupiote_tpu.ops.pallas_intersect", "loupiote_tpu.ops.pallas_wide",
-        "loupiote_tpu.ops.lane_top", "loupiote_tpu.ops.shade",
+        "loupiote_tpu.ops.shade",
         "loupiote_tpu.ops.sampling", "loupiote_tpu.ops.env",
         "loupiote_tpu.ops.texture", "loupiote_tpu.ops.sort",
         "loupiote_tpu.ops.tonemap", "loupiote_tpu.ops.lightmap",

@@ -114,9 +114,9 @@ class SceneBuffers:
     # tri_pack: [p0.xyz, e1.xyz, e2.xyz]
     tri_pack: jnp.ndarray = None  # (T, 9) float32
 
-    # Treelet pipeline tables (ops/treelet_pipeline.py): phase-1 top walk +
-    # phase-2 per-lane subtree tables. Built for big scenes (same threshold
-    # as the wide kernel); None disables the pipeline.
+    # Treelet pipeline tables (archived: experiments/treelet/pipeline.py,
+    # CLOSED by round-4 device measurement). None in every default config;
+    # populated only by the LOUPIOTE_TREELET=1 archive hook below.
     treelet: object = None
 
     # Two-level BLAS/TLAS instancing (scene/instanced.py): per-mesh BLAS
@@ -374,11 +374,10 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
     while wide_stack < wide.stack_need:
         wide_stack *= 2
 
-    # Treelet tables (two-phase per-lane pipeline). The consuming pipeline
-    # is opt-in (ops/intersect._treelet_enabled), so build the tables only
-    # under the SAME env var — building them by default was dead build time
-    # + device memory, and the near-identical LOUPIOTE_TREELETS spelling
-    # invited misconfiguration (round-3 advisor finding).
+    # Treelet tables (archived two-phase per-lane pipeline — CLOSED, see
+    # experiments/treelet/__init__.py for the round-4 device verdict). The
+    # build hook remains only so the archived A/B benches re-run; it
+    # requires LOUPIOTE_TREELET=1 AND the repo root on sys.path.
     import os as _os
 
     if treelets is None:
@@ -386,7 +385,7 @@ def build_scene_buffers(scene: Scene, probe: Optional[Probe] = None,
                     and N >= 8192)
     treelet_dev = None
     if treelets:
-        from ..ops.treelet_pipeline import build_treelet_device
+        from experiments.treelet.pipeline import build_treelet_device
 
         treelet_dev = build_treelet_device(bvh, tri9)
 
