@@ -1,19 +1,30 @@
 """Attribute the full-frame time beyond the traversal kernels.
 
-BENCH r3: frame 1578 ms, kernels 1165 ms -> 413 ms of sort glue +
-shading + raygen + gbuffer. This times frame variants that toggle one
-ingredient each, same-window interleaved:
+BENCH r4 mid: frame 1917 ms, measured waves (primary 110 + 2x diffuse
+~600 + 3x shadow ~640) ~ 1350 ms -> ~570 ms of sort glue + shading +
+raygen + gbuffer. This times frame variants that toggle one ingredient
+each:
 
   full        bounces=3, NEE, sorted     (the headline frame)
   nosort      sort_rays=False            -> sort glue cost
   nonee       nee=False                  -> NEE shadow waves + light math
   b1 / b2     bounces=1 / 2              -> per-bounce increments
 
-Usage: python experiments/frame_parts.py
+The tunneled backend wedges with INVALID_ARGUMENT once several large
+pallas executables are loaded in one process (the round-4 first attempt
+died exactly there, artifacts/r4_device/frame_parts.log), so each
+variant runs in its OWN subprocess — same scheme as bench.py. The
+variants are no longer same-window interleaved; each child reports its
+own best-of-4 and the parent prints the deltas.
+
+Usage: python experiments/frame_parts.py            (parent, runs all)
+       python experiments/frame_parts.py --one full (child, one config)
 """
 
 import functools
+import json
 import os
+import subprocess
 import sys
 import time
 
@@ -23,8 +34,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 WIDTH, HEIGHT = 1920, 1080
 
+CFGS = {"full": dict(bounces=3, nee=True, sort_rays=True),
+        "nosort": dict(bounces=3, nee=True, sort_rays=False),
+        "nonee": dict(bounces=3, nee=False, sort_rays=True),
+        "b2": dict(bounces=2, nee=True, sort_rays=True),
+        "b1": dict(bounces=1, nee=True, sort_rays=True)}
 
-def main():
+
+def run_one(name):
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -37,50 +54,54 @@ def main():
     from loupiote_tpu.scene import build_scene_buffers
     from loupiote_tpu.scene.procedural import arch_camera, build_arch_scene
 
+    kw = CFGS[name]
     bufs = build_scene_buffers(build_arch_scene(260_000))
     cam = jnp.asarray(np.asarray(arch_camera()))
-
-    CFGS = [("full", dict(bounces=3, nee=True, sort_rays=True)),
-            ("nosort", dict(bounces=3, nee=True, sort_rays=False)),
-            ("nonee", dict(bounces=3, nee=False, sort_rays=True)),
-            ("b2", dict(bounces=2, nee=True, sort_rays=True)),
-            ("b1", dict(bounces=1, nee=True, sort_rays=True))]
-
-    fns = {}
-    for name, kw in CFGS:
-        fns[name] = jax.jit(functools.partial(
-            lambda b, k, kw: trace_paths(b, cam, WIDTH, HEIGHT, k,
-                                         **kw)[0], kw=kw))
+    fn = jax.jit(functools.partial(
+        lambda b, k, kw: trace_paths(b, cam, WIDTH, HEIGHT, k, **kw)[0],
+        kw=kw))
+    t0 = time.time()
+    jax.block_until_ready(fn(bufs, jr.PRNGKey(1)))
+    compile_s = time.time() - t0
+    best = float("inf")
+    for i in range(4):
         t0 = time.time()
-        jax.block_until_ready(fns[name](bufs, jr.PRNGKey(1)))
-        print(f"compiled {name}: {time.time()-t0:.1f}s", flush=True)
+        jax.block_until_ready(fn(bufs, jr.PRNGKey(10 + i)))
+        best = min(best, time.time() - t0)
+    print(json.dumps({"name": name, "ms": round(best * 1e3, 1),
+                      "compile_s": round(compile_s, 1)}), flush=True)
 
-    best = {n: float("inf") for n, _ in CFGS}
-    for i in range(5):
-        for name, _ in CFGS:
-            # The tunneled backend sporadically returns INVALID_ARGUMENT on
-            # a re-execute (transient; the same program ran fine during
-            # compile). Fail-soft per call so one flake can't void the run.
-            for attempt in range(3):
-                try:
-                    t0 = time.time()
-                    out = fns[name](bufs, jr.PRNGKey(10 + 7 * i + attempt))
-                    jax.block_until_ready(out)
-                    best[name] = min(best[name], time.time() - t0)
-                    break
-                except Exception as e:
-                    print(f"  {name} i={i} flake: {repr(e)[:90]}",
-                          flush=True)
-                    time.sleep(5)
-        print(f"round {i}: " + " ".join(
-            f"{n}={best[n]*1e3:.0f}ms" for n, _ in CFGS), flush=True)
-    for name, _ in CFGS:
-        print(f"{name:>7}: {best[name]*1e3:7.1f} ms", flush=True)
-    print(f"sort glue  = full - nosort = "
-          f"{(best['nosort']-best['full'])*-1e3:+.1f} ms", flush=True)
-    print(f"NEE total  = full - nonee  = "
-          f"{(best['full']-best['nonee'])*1e3:+.1f} ms", flush=True)
+
+def main():
+    best = {}
+    for name in CFGS:
+        p = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--one", name],
+                           capture_output=True, text=True, timeout=1800)
+        line = [ln for ln in p.stdout.splitlines()
+                if ln.startswith("{")]
+        if not line:
+            print(f"{name}: FAILED rc={p.returncode} "
+                  f"{p.stderr.strip().splitlines()[-1][:120] if p.stderr.strip() else ''}",
+                  flush=True)
+            continue
+        rec = json.loads(line[-1])
+        best[name] = rec["ms"]
+        print(f"{name:>7}: {rec['ms']:7.1f} ms (compile {rec['compile_s']}s)",
+              flush=True)
+    if "full" in best and "nosort" in best:
+        print(f"sort glue  = full - nosort = "
+              f"{best['full'] - best['nosort']:+.1f} ms", flush=True)
+    if "full" in best and "nonee" in best:
+        print(f"NEE total  = full - nonee  = "
+              f"{best['full'] - best['nonee']:+.1f} ms", flush=True)
+    if "b2" in best and "b1" in best:
+        print(f"bounce increment b1->b2 = {best['b2'] - best['b1']:+.1f} ms",
+              flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--one":
+        run_one(sys.argv[2])
+    else:
+        main()
