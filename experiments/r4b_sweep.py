@@ -21,7 +21,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 WAVE = "/tmp/subpacket_wave.npz"
-CFGS = [(64, ""), (128, ""), (64, "unroll4"), (128, "unroll4")]
+# Override with e.g. LOUPIOTE_R4B_CFGS="64:,64:unroll4" (sub:ablate pairs).
+_env = os.environ.get("LOUPIOTE_R4B_CFGS")
+if _env:
+    CFGS = [(int(p.split(":")[0]), p.split(":", 1)[1])
+            for p in _env.split(",")]
+else:
+    CFGS = [(64, ""), (128, ""), (64, "unroll4"), (128, "unroll4")]
 
 
 def main(which="diffuse"):
