@@ -31,8 +31,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .intersect import Hit, T_FAR, T_MIN
 
-SUB = 8  # sub-packets per grid cell (sublane rows)
+SUB = 8  # native f32 tile rows; the unit of sub-packet shapes
 SUBP = 128  # rays per sub-packet (lanes)
+# Production sub-packet rows per grid cell: the round-4 device sweep on
+# the Cornell interactive frame measured 81.3 ms (sub=8) -> 80.1 (16)
+# -> 72.1 (32) — fixed per-step loop overhead amortizes over more rows,
+# same mechanism as the wide kernel's DEFAULT_SUB=64
+# (experiments/cornell_sub.py, artifacts/r4_device/cornell_sub.log).
+DEFAULT_SUB = 32
 TILE = SUB * SUBP
 STACK = 64
 LEAF_CAP = 14
@@ -400,11 +406,16 @@ def _pallas_anyhit(node_rows, leaf_rows, ox, oy, oz, dx, dy, dz, t0, act,
     return blocked
 
 
-def _sub_rows(sub):
+def _sub_rows(sub, n_rays=None):
     import os as _os
 
     if sub is None:
-        sub = int(_os.environ.get("LOUPIOTE_BVH2_SUB", SUB))
+        sub = int(_os.environ.get("LOUPIOTE_BVH2_SUB", DEFAULT_SUB))
+    if n_rays is not None:
+        # Never pad a small wave past one grid cell: clamp to the wave's
+        # own row count (rounded up to the native 8-row f32 tile).
+        rows = -(-int(n_rays) // SUBP)
+        sub = max(SUB, min(sub, -(-rows // SUB) * SUB))
     return sub
 
 
@@ -426,7 +437,7 @@ def occluded_pallas(scene, ro, rd, tmax, active=None,
                     interpret: bool = False,
                     sub: int | None = None) -> jnp.ndarray:
     """(R,) bool: segment [T_MIN, tmax) blocked — via the any-hit kernel."""
-    sub = _sub_rows(sub)
+    sub = _sub_rows(sub, ro.shape[0])
     R0 = ro.shape[0]
     act = (jnp.ones(R0, jnp.int32) if active is None
            else active.astype(jnp.int32))
@@ -496,7 +507,7 @@ def intersect_pallas(scene, ro, rd, tmax=None, active=None,
                      any_hit: bool = False, interpret: bool = False,
                      sub: int | None = None) -> Hit:
     """Hit-compatible wrapper over the Pallas traversal kernel."""
-    sub = _sub_rows(sub)
+    sub = _sub_rows(sub, ro.shape[0])
     R0 = ro.shape[0]
     t0 = jnp.full(R0, T_FAR, jnp.float32) if tmax is None else tmax
     act = (jnp.ones(R0, jnp.int32) if active is None

@@ -590,13 +590,17 @@ def _wide_kernel(rows_ref,
         return jnp.logical_and(jnp.sum(st[2]) < sub, steps < max_steps)
 
     if "unroll1" in ablate:  # A/B: one step per cond evaluation
-        def body(carry):
-            steps, st = carry
-            return steps + 1, advance(st)
+        unroll = 1
+    elif "unroll4" in ablate:  # A/B: four steps per cond evaluation
+        unroll = 4
     else:  # default: 2 steps per cond evaluation (best_config.py)
-        def body(carry):
-            steps, st = carry
-            return steps + 2, advance(advance(st))
+        unroll = 2
+
+    def body(carry):
+        steps, st = carry
+        for _ in range(unroll):
+            st = advance(st)
+        return steps + unroll, st
 
     lax.while_loop(cond, body, (jnp.int32(0), init))
 
