@@ -65,9 +65,17 @@ def run_one(name):
     compile_s = time.time() - t0
     best = float("inf")
     for i in range(4):
-        t0 = time.time()
-        jax.block_until_ready(fn(bufs, jr.PRNGKey(10 + i)))
-        best = min(best, time.time() - t0)
+        # The tunnel sporadically throws a transient INVALID_ARGUMENT on
+        # re-execute; retry so one flake doesn't void the whole variant.
+        for attempt in range(3):
+            try:
+                t0 = time.time()
+                jax.block_until_ready(fn(bufs, jr.PRNGKey(10 + i)))
+                best = min(best, time.time() - t0)
+                break
+            except Exception as e:  # noqa: BLE001 — tunnel flake, retried
+                print(f"  flake {name}[{i}]: {repr(e)[:80]}", flush=True)
+                time.sleep(5)
     print(json.dumps({"name": name, "ms": round(best * 1e3, 1),
                       "compile_s": round(compile_s, 1)}), flush=True)
 
@@ -75,9 +83,15 @@ def run_one(name):
 def main():
     best = {}
     for name in CFGS:
-        p = subprocess.run([sys.executable, os.path.abspath(__file__),
-                            "--one", name],
-                           capture_output=True, text=True, timeout=1800)
+        # A congested compile window can stall a child >18 min; skip that
+        # variant and keep the rest instead of aborting the whole run.
+        try:
+            p = subprocess.run([sys.executable, os.path.abspath(__file__),
+                                "--one", name],
+                               capture_output=True, text=True, timeout=1800)
+        except subprocess.TimeoutExpired:
+            print(f"{name}: FAILED(timeout 1800s)", flush=True)
+            continue
         line = [ln for ln in p.stdout.splitlines()
                 if ln.startswith("{")]
         if not line:

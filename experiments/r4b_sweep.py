@@ -24,7 +24,9 @@ WAVE = "/tmp/subpacket_wave.npz"
 # Override with e.g. LOUPIOTE_R4B_CFGS="64:,64:unroll4" (sub:ablate pairs).
 _env = os.environ.get("LOUPIOTE_R4B_CFGS")
 if _env:
-    CFGS = [(int(p.split(":")[0]), p.split(":", 1)[1])
+    # Tolerant parse: "64" (no colon) means an empty ablate string.
+    CFGS = [(int(p.split(":")[0]),
+             p.split(":", 1)[1] if ":" in p else "")
             for p in _env.split(",")]
 else:
     CFGS = [(64, ""), (128, ""), (64, "unroll4"), (128, "unroll4")]
@@ -46,7 +48,9 @@ def main(which="diffuse"):
     data = np.load(WAVE)
     dro, drd, alive = data["dro"], data["drd"], data["alive"]
     any_hit = which == "shadow"
-    tile = 128 * SUBP  # the largest sub: R must divide every config
+    # R must be divisible by every configured sub (not a fixed 128).
+    import math
+    tile = math.lcm(*[c[0] for c in CFGS]) * SUBP
     R = min((len(dro) // tile) * tile, 512 * 8 * SUBP)
 
     def flat(x):

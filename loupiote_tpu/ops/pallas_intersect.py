@@ -1,4 +1,4 @@
-"""Pallas TPU traversal kernel: 8 sub-packet traversals per grid cell.
+"""Pallas TPU traversal kernel: `sub` sub-packet traversals per grid cell.
 
 The speed-of-light analysis (see git history / SURVEY.md §7 hard-parts):
 XLA-level traversal is bound by either per-ray gather throughput (~50M
@@ -6,14 +6,17 @@ rows/s) or packet-union redundancy. This kernel removes both walls:
 
   - Whole BVH + leaf-triangle tables live resident in VMEM (v5e has ~128MB
     VMEM; a Sponza-scale scene needs ~45MB padded).
-  - One grid cell owns 1024 rays = 8 *independent* sub-packets of 128 rays
-    (one per sublane row). Each sub-packet runs its own stack-based
-    traversal: scalar control in SMEM/registers, per-row node fetch via a
-    dynamic-sublane slice, bounds broadcast lane-wise, so every VPU
-    instruction does useful work for 8 different tree positions at once.
+  - One grid cell owns `sub` rows of 128 rays (default sub=32 → 4096 rays
+    per cell; 8 rows is the tile-granularity floor). Each row is an
+    *independent* sub-packet running its own stack-based traversal: scalar
+    control in SMEM/registers, per-row node fetch via a dynamic-sublane
+    slice, bounds broadcast lane-wise, so every VPU instruction does useful
+    work for `sub` different tree positions at once. More rows per cell
+    amortize the fixed per-step loop overhead (device sweep: Cornell
+    81.3 ms at sub=8 → 72.1 at sub=32, experiments/cornell_sub.py).
   - A leaf is ONE 128-lane row holding 14 triangles (9 floats each): a
     single dynamic slice fetches a whole leaf; Moller-Trumbore runs as
-    (8,128) dense math with per-row masks.
+    (sub,128) dense math with per-row masks.
 
 128-ray sub-packets keep traversal unions ~an order of magnitude tighter
 than 1024-ray packets while keeping the VPU fully occupied.

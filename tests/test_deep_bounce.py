@@ -4,6 +4,8 @@ Exercises the static bounce loop at depth 8 with inter-bounce sorting:
 energy must grow monotonically with depth (more light paths) and stay
 bounded (no pdf blowups / NaN at deep chains)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import jax.random as jr
@@ -14,6 +16,8 @@ from loupiote_tpu.scene import build_scene_buffers
 
 from test_render import CORNELL_CAM, cornell_with_light
 
+
+pytestmark = pytest.mark.slow
 
 def test_eight_bounce_energy(cornell_scene):
     bufs = build_scene_buffers(cornell_with_light(cornell_scene))

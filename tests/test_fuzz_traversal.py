@@ -12,6 +12,8 @@ from loupiote_tpu.scene import Scene, build_scene_buffers
 from loupiote_tpu.scene.types import Instance, Mesh
 
 
+pytestmark = pytest.mark.slow
+
 def _scene(rng, n, spread, size):
     v0 = ((rng.random((n, 3)) - 0.5) * spread).astype(np.float32)
     v1 = v0 + ((rng.random((n, 3)) - 0.5) * size).astype(np.float32)

@@ -9,6 +9,8 @@ fix (the round-1 estimator lost the BSDF-weighted share of direct light at
 the final path vertex; oracle-verified).
 """
 
+import pytest
+
 import os
 
 import jax
@@ -24,6 +26,8 @@ from test_render import CORNELL_CAM, cornell_with_light
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
                       "cornell_32x32_48spp.npy")
 
+
+pytestmark = pytest.mark.slow
 
 def psnr(a, b, peak=None):
     peak = peak or max(b.max(), 1e-6)

@@ -22,6 +22,8 @@ from loupiote_tpu.scene.types import Instance, Light, Material, Mesh
 GOLD_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
 
+pytestmark = pytest.mark.slow
+
 def psnr(a, b, peak=None):
     peak = peak or max(b.max(), 1e-6)
     mse = np.mean((a - b) ** 2)

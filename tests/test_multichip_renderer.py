@@ -10,6 +10,8 @@ from loupiote_tpu.render import Renderer
 from test_render import CORNELL_CAM, cornell_with_light
 
 
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def cornell_bufs(cornell_scene):
     from loupiote_tpu.scene import build_scene_buffers

@@ -76,6 +76,26 @@ def test_pallas_active_mask(tri_scene):
     np.testing.assert_array_equal(tri[act], np.asarray(ref.tri)[act])
 
 
+def test_pallas_sub32_and_ragged_rows(tri_scene):
+    """Exercise the shipped DEFAULT_SUB=32 path (4*TILE rays = one sub=32
+    grid cell) and the clamp arithmetic on a non-power-of-two row count
+    (24 rows = 3072 rays -> clamps sub to 24), both vs intersect_rays.
+    Unit tests elsewhere use R=TILE which always clamps back to sub=8;
+    without this test sub=32 correctness rests only on device perf runs."""
+    from loupiote_tpu.ops.pallas_intersect import SUBP, _sub_rows
+
+    bufs, tris = tri_scene
+    for R, want_sub in ((4 * TILE, 32), (24 * SUBP, 24)):
+        assert _sub_rows(32, R) == want_sub
+        ro, rd = _rays(tris, R, seed=83)
+        ref = intersect_rays(bufs, ro, rd)
+        out = intersect_pallas(bufs, ro, rd, interpret=True, sub=32)
+        np.testing.assert_allclose(np.asarray(out.t), np.asarray(ref.t),
+                                   rtol=1e-4)
+        tri_ref, tri_out = np.asarray(ref.tri), np.asarray(out.tri)
+        assert (tri_ref != tri_out).mean() < 0.005
+
+
 def test_anyhit_stackless_kernel_matches(tri_scene):
     """The specialized stackless shadow kernel (occluded_pallas) agrees with
     the SIMT oracle's any-hit semantics for bounded and unbounded rays."""

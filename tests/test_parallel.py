@@ -12,6 +12,8 @@ from loupiote_tpu.render.integrator import trace_paths
 from test_render import CORNELL_CAM, cornell_with_light
 
 
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def cornell_bufs(cornell_scene):
     from loupiote_tpu.scene import build_scene_buffers

@@ -2,6 +2,8 @@
 converge to the same image mean (MIS unbiasedness), and the lightmap baker
 must agree with the analytic furnace result."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import jax.random as jr
@@ -14,6 +16,8 @@ from loupiote_tpu.scene.types import Instance, Mesh
 
 from test_render import look_at_matrix
 
+
+pytestmark = pytest.mark.slow
 
 def closed_box_scene(emit=8.0):
     """A closed white box with a quad light inside: low-variance interior."""
