@@ -9,13 +9,21 @@ primitive timing says 10.6 vs 17.7 ns/elem (round-4 device window).
 This measures what that buys END TO END on the headline frame —
 the number that decides whether slab mode becomes the default.
 
-The env is read at trace time, so both variants trace in one process
-(separate jit wrappers), timed interleaved same-window.
+Round-5 finding (artifacts/r5_device1/frame_sort_ab2.log): the two
+frame-sized Pallas executables CANNOT share one process — after the
+second loads, every re-execute throws INVALID_ARGUMENT (the same tunnel
+wedge bench.py documents). Each variant therefore runs in its OWN
+subprocess, same window, best-of-N; the parent prints the delta. The
+child compile times double as the cross-process persistent-cache probe
+(ROADMAP round-5 queue #3).
 
-Usage: python experiments/frame_sort_ab.py
+Usage: python experiments/frame_sort_ab.py           (parent, both)
+       python experiments/frame_sort_ab.py --one slab (child)
 """
 
+import json
 import os
+import subprocess
 import sys
 import time
 
@@ -26,7 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 WIDTH, HEIGHT = 1920, 1080
 
 
-def main():
+def run_one(name):
+    os.environ["LOUPIOTE_SLAB_SORT"] = "1" if name == "slab" else "0"
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -41,38 +50,56 @@ def main():
 
     bufs = build_scene_buffers(build_arch_scene(260_000))
     cam = jnp.asarray(np.asarray(arch_camera()))
+    fn = jax.jit(lambda b, k: trace_paths(b, cam, WIDTH, HEIGHT, k,
+                                          bounces=3)[0])
+    t0 = time.time()
+    out = jax.block_until_ready(fn(bufs, jr.PRNGKey(1)))
+    compile_s = time.time() - t0
+    nz = float((np.asarray(out).reshape(-1, 3).sum(1) > 0).mean())
+    best = float("inf")
+    for i in range(5):
+        for attempt in range(3):  # transient re-execute flakes
+            try:
+                t0 = time.time()
+                jax.block_until_ready(fn(bufs, jr.PRNGKey(10 + 7 * i)))
+                best = min(best, time.time() - t0)
+                break
+            except Exception as e:
+                print(f"  {name} flake: {repr(e)[:80]}", flush=True)
+                time.sleep(5)
+    print(json.dumps({"name": name, "ms": round(best * 1e3, 1),
+                      "compile_s": round(compile_s, 1),
+                      "nonzero": round(nz, 3)}), flush=True)
 
-    fns = {}
-    for name, env in (("argsort", "0"), ("slab", "1")):
-        os.environ["LOUPIOTE_SLAB_SORT"] = env
-        fns[name] = jax.jit(
-            lambda b, k: trace_paths(b, cam, WIDTH, HEIGHT, k, bounces=3)[0])
-        t0 = time.time()
-        out = jax.block_until_ready(fns[name](bufs, jr.PRNGKey(1)))
-        nz = float((np.asarray(out).reshape(-1, 3).sum(1) > 0).mean())
-        print(f"compiled {name}: {time.time()-t0:.1f}s "
-              f"(nonzero {nz*100:.1f}%)", flush=True)
-    os.environ.pop("LOUPIOTE_SLAB_SORT", None)
 
-    best = {n: float("inf") for n in fns}
-    for i in range(6):
-        for name, fn in fns.items():
-            for attempt in range(3):  # tunnel re-execute flakes
-                try:
-                    t0 = time.time()
-                    jax.block_until_ready(fn(bufs, jr.PRNGKey(10 + 7 * i)))
-                    best[name] = min(best[name], time.time() - t0)
-                    break
-                except Exception as e:
-                    print(f"  {name} flake: {repr(e)[:80]}", flush=True)
-                    time.sleep(5)
-        print(f"round {i}: " + " ".join(f"{n}={best[n]*1e3:.0f}ms"
-                                        for n in fns), flush=True)
-    for name in fns:
-        print(f"FRAME {name:>8}: {best[name]*1e3:7.1f} ms", flush=True)
-    print(f"slab saves {(best['argsort']-best['slab'])*1e3:+.1f} ms/frame",
-          flush=True)
+def main():
+    best = {}
+    here = os.path.abspath(__file__)
+    for name in ("argsort", "slab"):
+        try:
+            p = subprocess.run([sys.executable, here, "--one", name],
+                               capture_output=True, text=True, timeout=2700)
+        except subprocess.TimeoutExpired:
+            print(f"{name}: FAILED(timeout 2700s)", flush=True)
+            continue
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        if not line:
+            err = (p.stderr.strip().splitlines()[-1][:160]
+                   if p.stderr.strip() else "")
+            print(f"{name}: FAILED rc={p.returncode} {err}", flush=True)
+            continue
+        rec = json.loads(line[-1])
+        best[name] = rec["ms"]
+        print(f"FRAME {name:>8}: {rec['ms']:7.1f} ms "
+              f"(compile {rec['compile_s']}s, nonzero {rec['nonzero']})",
+              flush=True)
+    if len(best) == 2:
+        print(f"slab saves {best['argsort'] - best['slab']:+.1f} ms/frame",
+              flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--one":
+        run_one(sys.argv[2])
+    else:
+        main()

@@ -37,13 +37,27 @@ BIG = 3e30
 
 
 def _gather_tile(tab, row, lane):
-    """Per-lane gather from one (8, 128) tile: out[s, l] = tab[row, lane]."""
-    out = jnp.zeros((SUB, SUBP), jnp.float32)
+    """Per-lane gather from one (8, 128) tile: out[s, l] = tab[row, lane].
+
+    The per-sublane candidates are masked then TREE-folded (depth 3)
+    instead of the original 8-deep serial where-chain: this walk is a
+    lockstep while-loop whose step cost is dependency-chain latency (same
+    cost model as ops/pallas_wide.py), so the select scan sat on the
+    critical path of every step. The fold runs in INT space with bitwise
+    OR — float adds would canonicalize NaN bit patterns, corrupting link
+    fields whose bitcast int payloads land in the exponent bits."""
+    cands = []
     for s in range(SUB):
         row_b = lax.broadcast_in_dim(tab[s:s + 1, :], (SUB, SUBP), (0, 1))
-        g = jnp.take_along_axis(row_b, lane, axis=1)
-        out = jnp.where(row == s, g, out)
-    return out
+        g = lax.bitcast_convert_type(
+            jnp.take_along_axis(row_b, lane, axis=1), jnp.int32)
+        cands.append(jnp.where(row == s, g, 0))
+    while len(cands) > 1:
+        nxt = [cands[i] | cands[i + 1] for i in range(0, len(cands) - 1, 2)]
+        if len(cands) % 2:
+            nxt.append(cands[-1])
+        cands = nxt
+    return lax.bitcast_convert_type(cands[0], jnp.float32)
 
 
 def _lane_bottom_kernel(sid_ref, f_ref, ox_ref, oy_ref, oz_ref,
