@@ -261,8 +261,85 @@ def section_cornell():
                                          1)}
 
 
+def section_textured():
+    """Textured + instanced scenes at bench scale (VERDICT r4 #5): the
+    reference's headline scene is textured multi-mesh glTF
+    (crates/standalone/src/lib.rs:109-126); without this section a
+    regression in the atlas gathers (ops/texture.py) or the TLAS scan
+    (scene/instanced.py) would be invisible to bench.py."""
+    jax = _jax_setup()
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from loupiote_tpu.render.integrator import trace_paths
+    from loupiote_tpu.scene import build_scene_buffers
+    from loupiote_tpu.scene.procedural import arch_camera, build_arch_scene
+
+    extra = {}
+    cam = jnp.asarray(np.asarray(arch_camera()))
+    pixels = WIDTH * HEIGHT
+
+    # (a) Textured arch-260k + 200 flattened props: atlas sampling in
+    # every shade stage at 1080p (compare against headline frame_ms for
+    # the texturing cost).
+    scene = build_arch_scene(260_000, textured=True, props=200)
+    bufs = build_scene_buffers(scene)
+    extra["textured_triangles"] = scene.stats()["triangles"]
+    fj = jax.jit(lambda b, k: trace_paths(b, cam, WIDTH, HEIGHT, k,
+                                          bounces=BOUNCES)[0])
+    t0 = time.time()
+    out = jax.block_until_ready(fj(bufs, jr.PRNGKey(5)))
+    extra["textured_compile_s"] = round(time.time() - t0, 1)
+    extra["textured_nonzero_frac"] = round(
+        float((np.asarray(out).reshape(-1, 3).sum(1) > 0).mean()), 3)
+    best = float("inf")
+    for i in range(4):
+        t0 = time.time()
+        jax.block_until_ready(fj(bufs, jr.PRNGKey(20 + i)))
+        best = min(best, time.time() - t0)
+    extra["textured_frame_ms"] = round(best * 1e3, 1)
+    extra["textured_mrays"] = round(pixels * BOUNCES * 2 / best / 1e6, 2)
+    return extra
+
+
+def section_instanced():
+    """Two-level TLAS frame: merged hall BLAS + 200 instanced props
+    traversed by the scan TLAS (scene/instanced.py). Slower than the
+    flattened build by construction (each prop instance is a culled
+    sub-traversal of the whole wave); this measures that capability's
+    real price at 1080p."""
+    jax = _jax_setup()
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from loupiote_tpu.render.integrator import trace_paths
+    from loupiote_tpu.scene.instanced import build_instanced_buffers
+    from loupiote_tpu.scene.procedural import arch_camera, build_arch_scene
+
+    extra = {}
+    cam = jnp.asarray(np.asarray(arch_camera()))
+    scene = build_arch_scene(260_000, textured=True, props=200, merged=True)
+    bufs = build_instanced_buffers(scene)
+    extra["instanced_count"] = len(bufs.inst_mesh)
+    fj = jax.jit(lambda b, k: trace_paths(b, cam, WIDTH, HEIGHT, k,
+                                          bounces=BOUNCES)[0])
+    t0 = time.time()
+    out = jax.block_until_ready(fj(bufs, jr.PRNGKey(6)))
+    extra["instanced_compile_s"] = round(time.time() - t0, 1)
+    extra["instanced_nonzero_frac"] = round(
+        float((np.asarray(out).reshape(-1, 3).sum(1) > 0).mean()), 3)
+    best = float("inf")
+    for i in range(3):
+        t0 = time.time()
+        jax.block_until_ready(fj(bufs, jr.PRNGKey(30 + i)))
+        best = min(best, time.time() - t0)
+    extra["instanced_frame_ms"] = round(best * 1e3, 1)
+    return extra
+
+
 SECTIONS = {"headline": section_headline, "waves": section_waves,
-            "cornell": section_cornell}
+            "cornell": section_cornell, "textured": section_textured,
+            "instanced": section_instanced}
 
 
 def main():
@@ -272,8 +349,15 @@ def main():
 
     extra = {}
     here = os.path.abspath(__file__)
-    for name in ("headline", "waves", "cornell"):
-        for attempt in range(3):  # the remote-compile tunnel flakes
+    sections = ("headline", "waves", "cornell", "textured", "instanced")
+    if os.environ.get("LOUPIOTE_BENCH_SECTIONS"):
+        sections = tuple(os.environ["LOUPIOTE_BENCH_SECTIONS"].split(","))
+    for name in sections:
+        # Core sections get retries (the remote-compile tunnel flakes); the
+        # textured/instanced extras get one shot so a wedged compile can't
+        # eat the driver's whole bench budget.
+        tries = 3 if name in ("headline", "waves", "cornell") else 1
+        for attempt in range(tries):
             try:
                 out = subprocess.run(
                     [sys.executable, here, "--section", name],

@@ -1,5 +1,13 @@
-"""Full-frame A/B: per-bounce regroup via XLA argsort+gathers (default)
-vs the slab-local Pallas payload sort (LOUPIOTE_SLAB_SORT=1).
+"""[SETTLED round 5 — kept as the record] Full-frame A/B: per-bounce
+regroup via XLA argsort+gathers (default) vs the slab-local Pallas
+payload sort (LOUPIOTE_SLAB_SORT=1).
+
+RESULT (artifacts/r5_device1/frame_sort_ab3.log): slab LOST at frame
+level — 2010.1 ms vs 1911.7 ms argsort (nonzero parity 0.960/0.962),
+compile 1495.6 s vs 240.2 s — despite winning primitive timings
+(10.6 vs 17.7 ns/elem). The integrator's LOUPIOTE_SLAB_SORT branch was
+removed after this measurement (render/integrator.py documents it), so
+re-running this script now measures argsort twice.
 
 The slab sort (ops/slab_sort.py) replaces the global argsort + per-field
 HBM gathers with ONE kernel dispatch that compare-swaps 64k-ray slabs in

@@ -104,10 +104,17 @@ def _treelet_core(top_fields, sub_fields, sub_tri_base, ro, rd, t0, act,
     # pend: (R, PEND_CAP) int32 subtree ids (-1 empty). npend == PEND_CAP
     # may be an incomplete lane -> fallback.
 
-    # --- binning: compact pairs, sort by subtree, pad per subtree. -------
-    # Compact (ray, subtree) pairs into a PAIR_BUDGET*R array via a per-ray
-    # cumsum (sorting the R*PEND_CAP slot grid directly would more than
-    # double the sort size — the sort is the glue's dominant cost).
+    return _bin_and_walk(sub_fields, sub_tri_base, ro, rd, t0, act,
+                         pend, npend, S=S, any_hit=any_hit,
+                         interpret=interpret, regroup=regroup)
+
+
+def _compact_pairs(pend, npend, act, *, S: int):
+    """Binning stage A: compact (ray, subtree) pairs into a PAIR_BUDGET*R
+    array via a per-ray cumsum (sorting the R*PEND_CAP slot grid directly
+    would more than double the sort size — the sort is the glue's dominant
+    cost). Returns (key, ray_of, fallback)."""
+    R = pend.shape[0]
     P_pad = PAIR_BUDGET * R
     np_eff = jnp.where(act > 0, jnp.minimum(npend, PEND_CAP), 0)
     ray_base = jnp.cumsum(np_eff) - np_eff  # exclusive
@@ -124,6 +131,16 @@ def _treelet_core(top_fields, sub_fields, sub_tri_base, ro, rd, t0, act,
     ray_of = jnp.zeros(P_pad + 1, jnp.int32).at[dest0.reshape(-1)].set(
         jnp.repeat(jnp.arange(R, dtype=jnp.int32)[:, None], PEND_CAP,
                    axis=1).reshape(-1))[:P_pad]
+    return key, ray_of, fallback
+
+
+def _bin_and_walk(sub_fields, sub_tri_base, ro, rd, t0, act, pend, npend,
+                  *, S: int, any_hit: bool, interpret: bool, regroup: str):
+    """Binning + phase 2 (split out so experiments/treelet_split.py can jit
+    the stages separately for the regroup-vs-walk attribution)."""
+    R = ro.shape[0]
+    P_pad = PAIR_BUDGET * R
+    key, ray_of, fallback = _compact_pairs(pend, npend, act, S=S)
     if regroup == "count":
         # Counting-scatter regroup (ops/regroup.py): slab sort + DMA
         # scatter replaces the lax.sort + rank + padded-scatter glue
@@ -139,6 +156,19 @@ def _treelet_core(top_fields, sub_fields, sub_tri_base, ro, rd, t0, act,
                                fallback, any_hit=any_hit,
                                interpret=interpret)
 
+    pair_ray, pair_sid, pair_on, fallback = _bin_pairs_xla(
+        key, ray_of, fallback, R=R, S=S)
+    return _phase2_combine(sub_fields, sub_tri_base, ro, rd, t0,
+                           pair_ray, pair_sid, pair_on,
+                           pair_sid[::TILE], fallback,
+                           any_hit=any_hit, interpret=interpret)
+
+
+def _bin_pairs_xla(key, ray_of, fallback, *, R: int, S: int):
+    """Binning stage B (XLA backend): sort pairs by subtree, rank within
+    runs, scatter into TILE-padded single-subtree blocks. Returns
+    (pair_ray, pair_sid, pair_on, fallback)."""
+    P_pad = PAIR_BUDGET * R
     # This lax.sort is the pipeline's dominant cost at wave scale
     # (~1.6 s best case at 8.4M pairs) and the reason the pipeline stays
     # opt-in. The Pallas bitonic sort (ops/device_sort.py) was built to
@@ -175,10 +205,7 @@ def _treelet_core(top_fields, sub_fields, sub_tri_base, ro, rd, t0, act,
     pair_ray = pair_ray[:P_pad]
     pair_sid = pair_sid[:P_pad]
     pair_on = pair_on[:P_pad]
-    return _phase2_combine(sub_fields, sub_tri_base, ro, rd, t0,
-                           pair_ray, pair_sid, pair_on,
-                           pair_sid[::TILE], fallback,
-                           any_hit=any_hit, interpret=interpret)
+    return pair_ray, pair_sid, pair_on, fallback
 
 
 def _phase2_combine(sub_fields, sub_tri_base, ro, rd, t0, pair_ray,

@@ -50,6 +50,7 @@ class Driver:
         self.probe = None
         self.queries = Queries()
         self.renderer.queries = self.queries
+        self.last_pass_method = "replay"
         # Default camera (app.rs:64-68).
         d = np.array([1.0, 0.35, 0.0], np.float32)
         self.camera_controller = CameraController.from_origin_dir(
@@ -169,12 +170,15 @@ class Driver:
     def measure_passes(self) -> dict:
         """Per-pass timings for the performance window ("ray generation",
         "primary intersection", "shading N", "asvgf" — the reference's
-        Queries labels, performance_info.rs:23-47). Dispatches the frame
-        stage-by-stage (exact per-kernel cost, loses fusion); results land
-        in ``self.queries`` and are returned."""
+        Queries labels, performance_info.rs:23-47). On TPU these are
+        MEASURED device times from one fused-frame profiler trace
+        (method="trace"); off-device it falls back to the stage-by-stage
+        replay estimate. Results land in ``self.queries`` and are
+        returned; the method used lands in ``self.last_pass_method``."""
         view = self.camera_controller.update(0.0)
         self.queries.start_frame()
         out = self.renderer.measure_passes(view, queries=self.queries)
+        self.last_pass_method = out.get("method", "replay")
         self.queries.resolve()
         self.queries.end_frame()
         return out

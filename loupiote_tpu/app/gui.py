@@ -29,18 +29,20 @@ def performance_window(driver) -> dict:
     """gui/windows/performance_info.rs analog: delta, FPS, per-pass times.
 
     ``frame_ms``/``fps`` time the PRODUCTION fused frame. ``passes`` come
-    from Renderer.measure_passes, which re-dispatches the same kernels one
-    stage at a time and then RESCALES the stage times so they sum to the
-    measured fused frame ("frame (fused)" entry) — the per-pass shares are
-    estimated from the unfused replay, but the totals are consistent with
-    the frame the user runs (like the reference's GPU timestamps). The
-    flag makes the estimation method explicit."""
+    from Renderer.measure_passes. method="trace" (TPU) means MEASURED
+    per-pass device times parsed from a fused-frame profiler trace — the
+    GPU-timestamp analog. method="replay" (off-device fallback) means the
+    kernels were re-dispatched one stage at a time and RESCALED to sum to
+    the fused frame — the per-pass shares are then estimates, and the flag
+    makes that explicit."""
     q = driver.queries
+    method = getattr(driver, "last_pass_method", "replay")
     return {
         "frame_ms": q.frame_ms,
         "fps": driver.fps,
         "passes": dict(zip(q.labels(), q.values())),
-        "pass_shares_estimated_from_unfused_replay": True,
+        "pass_timing_method": method,
+        "pass_shares_estimated_from_unfused_replay": method == "replay",
     }
 
 

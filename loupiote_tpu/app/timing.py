@@ -23,7 +23,7 @@ from typing import List, Optional
 class Queries:
     """Frame-scoped labeled timers (Queries::start/end/resolve analog)."""
 
-    def __init__(self, max_queries: int = 10, sync: bool = False):
+    def __init__(self, max_queries: int = 16, sync: bool = False):
         self.max_queries = max_queries
         self.sync = sync
         self._current: "OrderedDict[str, float]" = OrderedDict()

@@ -118,6 +118,14 @@ def _slab_sort_padded(keys3, payload3, *, c_log: int,
         in_specs=[spec] * (1 + n_payload),
         out_specs=[spec] * (1 + n_payload),
         out_shape=out_shape,
+        # The 136 compare-swap stages keep key + all payload columns live;
+        # at frame scale (16 payload columns x 64k-ray slabs) the scoped
+        # stack needs ~27 MB — Mosaic's default 16 MB limit OOMs the
+        # compile (round-5 device window, artifacts/r5_device1/
+        # frame_sort_ab.log). v5e VMEM is 128 MB; match the traversal
+        # kernels' explicit budget.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(keys3, *payload3)
     return out[0], list(out[1:])

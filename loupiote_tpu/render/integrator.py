@@ -46,41 +46,14 @@ def from_tile_order(x: jnp.ndarray, width: int, rows: int) -> jnp.ndarray:
     return x.reshape(rows * width, *lead)
 
 
-def _slab_sort_on() -> bool:
-    """Opt-in while device A/Bs accumulate (round-3 lesson: never ship a
-    default kernel path that has not run on hardware)."""
-    import os
-
-    return os.environ.get("LOUPIOTE_SLAB_SORT") == "1"
-
-
-def _slab_sort_state(key, bundle):
-    """Permute every array in the ``bundle`` pytree by the slab-local
-    sort of ``key``: each leaf column rides the one Pallas dispatch as
-    payload."""
-    from ..ops.intersect import _pallas_enabled
-    from ..ops.slab_sort import slab_sort
-
-    interpret = not _pallas_enabled()
-    leaves, treedef = jax.tree.flatten(bundle)
-    cols, widths = [], []
-    for leaf in leaves:
-        if leaf.ndim == 2:
-            widths.append(leaf.shape[1])
-            cols.extend(leaf[:, c] for c in range(leaf.shape[1]))
-        else:
-            widths.append(0)
-            cols.append(leaf)
-    _, out = slab_sort(key, cols, interpret=interpret)
-    rebuilt, i = [], 0
-    for w in widths:
-        if w:
-            rebuilt.append(jnp.stack(out[i:i + w], axis=1))
-            i += w
-        else:
-            rebuilt.append(out[i])
-            i += 1
-    return jax.tree.unflatten(treedef, rebuilt)
+# The slab-local Pallas payload sort (ops/slab_sort.py) as the inter-
+# bounce regroup is a CLOSED negative result: despite winning primitive
+# timings (10.6 vs 17.7 ns/elem) it LOST at frame level on device —
+# 2010.1 ms vs 1911.7 ms argsort, with a 6x costlier compile (round-5
+# window, artifacts/r5_device1/frame_sort_ab3.log; the kernel also needs
+# a 100 MB scoped-VMEM budget at frame-scale payload width). The kernel
+# remains for the archived treelet regroup and as a tested primitive;
+# the frame regroup is XLA argsort + gathers.
 
 
 class GBuffer(NamedTuple):
@@ -121,10 +94,14 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
         rows = height
     R = width * rows
     k_jit, k_bounce = jax.random.split(key)
-    if jitter is None:
-        jitter = jax.random.uniform(k_jit, (R, 2))
-    ro, rd = generate_rays(cam_to_world, width, height, vfov, jitter,
-                           row_offset=row_offset, rows=rows)
+    # named_scope tokens ("raygen", "intersectN", "shadeN", "sortbN") flow
+    # into HLO op metadata; app/trace_parse.py attributes fused-kernel
+    # device-trace times to pass labels by them.
+    with jax.named_scope("raygen"):
+        if jitter is None:
+            jitter = jax.random.uniform(k_jit, (R, 2))
+        ro, rd = generate_rays(cam_to_world, width, height, vfov, jitter,
+                               row_offset=row_offset, rows=rows)
 
     # Reorder rays into spatially coherent 8x128 tiles so sub-packets share
     # traversal paths. Tile ordering is a pure reshape/transpose (free);
@@ -168,76 +145,50 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
     # left in unsorted caller order — and the scatter-back is replaced
     # by one final pixel-id scatter of the radiance.
     pid = jnp.arange(R, dtype=jnp.int32)  # sorted-slot -> pixel index
-    slab_mode = _slab_sort_on()
-    # Slab-sort mode pre-generates the later bounces' blue-noise columns
-    # in PIXEL order (no gather) and lets them ride the sorts as payload
-    # — the per-bounce plane[pid] gathers (5 x R each) were frame glue.
-    noise_pre = None
-    if slab_mode and do_sort and noise_tex is not None and bounces > 1:
-        noise_pre = jnp.concatenate(
-            [c for b in range(1, bounces)
-             for c in (bn(1 + 3 * b), bn(2 + 3 * b),
-                       bn(3 + 3 * b)[:, :1])], axis=1)  # (R, 5*(B-1))
     for bounce in range(bounces):
         if do_sort and bounce > 0:
             from ..ops.sort import ray_sort_key, sort_order
 
-            key = ray_sort_key(state.ro, state.rd, state.alive,
-                               scene_lo, scene_hi)
-            if slab_mode:
-                # Slab-local Pallas regroup (ops/slab_sort.py): one kernel
-                # dispatch sorts 64k-ray slabs with the whole state as
-                # payload — measured equal packet coherence to the global
-                # sort (experiments/slab_sort_sim.py) without argsort +
-                # per-field HBM gathers.
-                bundle = ((state, pid) if noise_pre is None
-                          else (state, pid, noise_pre))
-                bundle = _slab_sort_state(key, bundle)
-                state, pid = bundle[0], bundle[1]
-                if noise_pre is not None:
-                    noise_pre = bundle[2]
-            else:
+            with jax.named_scope(f"sortb{bounce}"):
+                key = ray_sort_key(state.ro, state.rd, state.alive,
+                                   scene_lo, scene_hi)
                 order = sort_order(key)
                 state = jax.tree.map(lambda x: x[order], state)
                 pid = pid[order]
-        hit = intersect_any(scene, state.ro, state.rd, active=state.alive)
+        with jax.named_scope(f"intersect{bounce}"):
+            hit = intersect_any(scene, state.ro, state.rd,
+                                active=state.alive)
         if bounce == 0:
-            surf0 = decode_surface(scene, state.ro, state.rd, hit,
-                                   textures=scene.has_textures)
-            missed = hit.tri < 0
-            gbuffer = GBuffer(
-                normal=jnp.where(missed[:, None], 0.0, surf0.n_shade),
-                depth=hit.t,
-                mesh_id=jnp.where(missed, -1, surf0.inst_id),
-                albedo=jnp.where(missed[:, None], 1.0, surf0.albedo),
-                world_pos=surf0.pos,
-            )
+            with jax.named_scope("gbuffer"):
+                surf0 = decode_surface(scene, state.ro, state.rd, hit,
+                                       textures=scene.has_textures)
+                missed = hit.tri < 0
+                gbuffer = GBuffer(
+                    normal=jnp.where(missed[:, None], 0.0, surf0.n_shade),
+                    depth=hit.t,
+                    mesh_id=jnp.where(missed, -1, surf0.inst_id),
+                    albedo=jnp.where(missed[:, None], 1.0, surf0.albedo),
+                    world_pos=surf0.pos,
+                )
         k_bounce, k_step = jax.random.split(k_bounce)
         light_uv = nee_uv if bounce == 0 else None
         bsdf_uv = lobe_u = None
         if noise_tex is not None:
-            if noise_pre is not None and bounce > 0:
-                # Columns already ride the sorted state — no gather.
-                off = 5 * (bounce - 1)
-                if light_uv is None:
-                    light_uv = noise_pre[:, off:off + 2]
-                bsdf_uv = noise_pre[:, off + 2:off + 4]
-                lobe_u = noise_pre[:, off + 4]
-            else:
-                def bn_here(dim):
-                    plane = bn(dim)
-                    # Blue-noise planes are pixel-ordered; route them
-                    # through the sorted-state permutation when active.
-                    return plane[pid] if (do_sort and bounce > 0) else plane
+            def bn_here(dim):
+                plane = bn(dim)
+                # Blue-noise planes are pixel-ordered; route them
+                # through the sorted-state permutation when active.
+                return plane[pid] if (do_sort and bounce > 0) else plane
 
-                if light_uv is None:
-                    light_uv = bn_here(1 + 3 * bounce)
-                bsdf_uv = bn_here(2 + 3 * bounce)
-                lobe_u = bn_here(3 + 3 * bounce)[:, 0]
-        state, _ = shade_step(scene, state, hit, k_step, nee=nee,
-                              last=(bounce == bounces - 1),
-                              light_uv=light_uv, bsdf_uv=bsdf_uv,
-                              lobe_u=lobe_u)
+            if light_uv is None:
+                light_uv = bn_here(1 + 3 * bounce)
+            bsdf_uv = bn_here(2 + 3 * bounce)
+            lobe_u = bn_here(3 + 3 * bounce)[:, 0]
+        with jax.named_scope(f"shade{bounce}"):
+            state, _ = shade_step(scene, state, hit, k_step, nee=nee,
+                                  last=(bounce == bounces - 1),
+                                  light_uv=light_uv, bsdf_uv=bsdf_uv,
+                                  lobe_u=lobe_u)
 
     radiance = state.radiance
     if do_sort:

@@ -188,19 +188,23 @@ def render_frame(scene: SceneBuffers, state: RenderState,
         from ..denoise.asvgf import denoise, demodulate, modulate, temporal_reproject
 
         if mode == "denoised":
-            out, t = denoise(img, curr_albedo, motion,
-                             curr_normal, curr_depth, curr_mesh,
-                             state.gb_normal, state.gb_depth, state.gb_mesh,
-                             state.asvgf_illum, state.asvgf_moments,
-                             state.asvgf_history,
-                             iterations=atrous_iterations)
+            with jax.named_scope("asvgf"):
+                out, t = denoise(img, curr_albedo, motion,
+                                 curr_normal, curr_depth, curr_mesh,
+                                 state.gb_normal, state.gb_depth,
+                                 state.gb_mesh,
+                                 state.asvgf_illum, state.asvgf_moments,
+                                 state.asvgf_history,
+                                 iterations=atrous_iterations)
             new["denoised"] = out
         else:
-            t = temporal_reproject(
-                demodulate(img, curr_albedo), motion,
-                curr_normal, curr_depth, curr_mesh,
-                state.gb_normal, state.gb_depth, state.gb_mesh,
-                state.asvgf_illum, state.asvgf_moments, state.asvgf_history)
+            with jax.named_scope("asvgf"):
+                t = temporal_reproject(
+                    demodulate(img, curr_albedo), motion,
+                    curr_normal, curr_depth, curr_mesh,
+                    state.gb_normal, state.gb_depth, state.gb_mesh,
+                    state.asvgf_illum, state.asvgf_moments,
+                    state.asvgf_history)
         new["asvgf_illum"] = t.illum
         new["asvgf_moments"] = t.moments
         new["asvgf_history"] = t.history
@@ -430,24 +434,27 @@ class Renderer:
         return rgba.tobytes()
 
     def measure_passes(self, view_transform: np.ndarray,
-                       queries=None) -> dict:
+                       queries=None, method: str = "auto") -> dict:
         """Per-pass kernel timings, labeled like the reference performance
         window ("ray generation", "primary intersection", "shading 0",
         "intersection N"/"shading N", "asvgf" —
         `crates/lib/src/renderer.rs:444-448,457,515`,
         `gui/windows/performance_info.rs:23-47`).
 
-        The hot path keeps the whole frame in ONE fused jit; this
-        instrumentation path dispatches the same kernels one stage at a time
-        with a device fence after each. Raw unfused stage times overstate
-        the fused frame (lost fusion + one dispatch fence per stage), so the
-        numbers reported to the GUI are RECONCILED: the fused frame is timed
-        too ("frame (fused)"), and each stage is scaled by
-        fused/unfused_total so the per-pass shares sum to the frame the user
-        actually runs (the reference's GPU timestamps also sum to the real
-        frame, performance_info.rs:23-47). The returned dict carries the
-        scaled stages plus "frame (fused)" and "unfused total" for
-        transparency.
+        ``method``:
+          - "trace" — MEASURED per-pass device times from one fused-frame
+            ``jax.profiler`` trace: the integrator's named_scope tokens
+            attribute every device op of the frame the user actually runs
+            (app/trace_parse.py). The GPU-timestamp analog.
+          - "replay" — dispatch the same kernels one stage at a time with a
+            fence after each; raw unfused stage times overstate the fused
+            frame (lost fusion + a dispatch fence per stage), so stages are
+            RESCALED by fused/unfused_total to sum to the fused frame.
+            Per-pass *shares* remain estimates. Off-device fallback.
+          - "auto" — try "trace", fall back to "replay".
+
+        The returned dict carries the stages plus "frame (fused)", and for
+        replay "unfused total" (the rescaling is then flagged to the GUI).
         """
         import time as _time
 
@@ -464,6 +471,51 @@ class Renderer:
                    else self.config.bounces_moving)
         key = self.state.key
         cam_m = jnp.asarray(cam.transform)
+
+        mode = {BlitMode.PATHTRACE: "pathtrace",
+                BlitMode.DENOISED_PATHTRACE: "denoised",
+                BlitMode.TEMPORAL: "temporal",
+                BlitMode.GBUFFER: "none",
+                BlitMode.MOTION_VECTOR: "none"}[self.mode]
+
+        def fused_frame():
+            return render_frame(
+                self.scene, self.state, cam_m,
+                jnp.asarray(cam.world_to_screen(self.config.near,
+                                                self.config.far)),
+                jnp.bool_(self.accumulate),
+                width=w, height=h, bounces=bounces, nee=self.config.nee,
+                vfov=float(np.deg2rad(self.config.vfov_deg)), mode=mode,
+                atrous_iterations=self.config.atrous_iterations,
+                use_noise=self.use_noise and self.noise_texture is not None)
+
+        if method in ("auto", "trace"):
+            from ..app.trace_parse import (frame_scope_labels,
+                                           measure_fused_passes)
+
+            jax.block_until_ready(fused_frame())  # warm (compile outside)
+            t0 = _time.perf_counter()
+            jax.block_until_ready(fused_frame())
+            fused = (_time.perf_counter() - t0) * 1e3
+            labels = frame_scope_labels(
+                bounces, denoised=mode in ("denoised", "temporal"))
+            measured = measure_fused_passes(fused_frame, labels)
+            matched = (sum(measured.values()) - measured.get("other", 0.0)
+                       if measured else 0.0)
+            total = sum(measured.values()) if measured else 0.0
+            # Trust the trace only when the scope tokens actually matched
+            # the bulk of device time (a plane with stripped metadata would
+            # dump everything in "other").
+            if measured is not None and matched > 0.3 * total > 0:
+                measured["frame (fused)"] = fused
+                measured["method"] = "trace"
+                if q is not None:
+                    for label, ms in measured.items():
+                        if isinstance(ms, float):
+                            q.record(label, ms)
+                return measured
+            if method == "trace":
+                return {}
         out = {}
 
         def timed(label, fn, *args, **kw):
@@ -506,31 +558,20 @@ class Renderer:
         # without committing its state; two calls, min, so a cold compile
         # on the first doesn't pollute the number.
         unfused_total = sum(out.values())
-        mode = {BlitMode.PATHTRACE: "pathtrace",
-                BlitMode.DENOISED_PATHTRACE: "denoised",
-                BlitMode.TEMPORAL: "temporal",
-                BlitMode.GBUFFER: "none",
-                BlitMode.MOTION_VECTOR: "none"}[self.mode]
         fused = float("inf")
         for _ in range(2):
             t0 = _time.perf_counter()
-            jax.block_until_ready(render_frame(
-                self.scene, self.state, cam_m,
-                jnp.asarray(cam.world_to_screen(self.config.near,
-                                                self.config.far)),
-                jnp.bool_(self.accumulate),
-                width=w, height=h, bounces=bounces, nee=self.config.nee,
-                vfov=float(np.deg2rad(self.config.vfov_deg)), mode=mode,
-                atrous_iterations=self.config.atrous_iterations,
-                use_noise=self.use_noise and self.noise_texture is not None))
+            jax.block_until_ready(fused_frame())
             fused = min(fused, (_time.perf_counter() - t0) * 1e3)
         scale = fused / unfused_total if unfused_total > 0 else 1.0
         out = {label: ms * scale for label, ms in out.items()}
         out["frame (fused)"] = fused
         out["unfused total"] = unfused_total
+        out["method"] = "replay"
         if q is not None:
             for label, ms in out.items():
-                q.record(label, ms)
+                if isinstance(ms, float):
+                    q.record(label, ms)
         return out
 
     # Kernel modules re-read on reload ("shader sources" analog).

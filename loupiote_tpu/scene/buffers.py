@@ -131,6 +131,12 @@ class SceneBuffers:
     inst_mat_id: jnp.ndarray = None  # (K,) int32 material per instance
     inst_tri_base: jnp.ndarray = None  # (K,) int32 global-tri offset
     inst_mesh: tuple = struct.field(pytree_node=False, default=None)
+    # Per-instance world-space AABBs: the TLAS cull tables. The scan-mode
+    # TLAS (instanced.py) slab-tests every ray against an instance's box
+    # before entering its BLAS, so rays that miss the box retire in one
+    # step instead of a full traversal.
+    inst_aabb_lo: jnp.ndarray = None  # (K, 3) float32
+    inst_aabb_hi: jnp.ndarray = None  # (K, 3) float32
 
     # Static metadata (not traced).
     num_tris: int = struct.field(pytree_node=False, default=0)

@@ -51,7 +51,8 @@ def test_per_pass_timing_labels(driver):
     assert "primary intersection" in labels
     assert "shading 0" in labels
     assert "asvgf" in labels
-    assert all(ms >= 0 for ms in out.values())
+    assert out.get("method") in ("trace", "replay")
+    assert all(ms >= 0 for ms in out.values() if isinstance(ms, float))
     driver.settings.blit_mode = BlitMode.PATHTRACE
 
 

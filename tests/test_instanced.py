@@ -160,6 +160,57 @@ def test_memory_win(scenes):
     assert nbytes(inst) < 0.55 * nbytes(flat)
 
 
+def test_scan_tlas_200_instances(rng):
+    """Hundreds of instances must work and compile in O(unique meshes),
+    not O(instances): above TLAS_UNROLL_MAX the TLAS becomes one lax.scan
+    per unique mesh with per-instance AABB culls (VERDICT r4 #9; reference
+    bar: BLASArray + tinybvh handle arbitrary instance counts,
+    scene.rs:43-49)."""
+    import time
+
+    import jax
+
+    from loupiote_tpu.ops.intersect import intersect_any, occluded
+
+    rng200 = np.random.default_rng(2026)
+    scene = Scene.default()
+    for _ in range(2):  # 2 unique meshes
+        scene.meshes.append(_mesh(rng200, n=60, spread=1.2))
+    for k in range(200):
+        off = (rng200.random(3) - 0.5) * 40
+        scene.instances.append(Instance(
+            mesh_index=k % 2, model_to_world=_xlate(*off),
+            material_index=0))
+    flat = build_scene_buffers(scene)
+    inst = build_instanced_buffers(scene)
+    assert inst.inst_aabb_lo.shape == (200, 3)
+
+    ro, rd = _rays(rng200, R=512)
+    t0 = time.time()
+    got = jax.block_until_ready(intersect_any(inst, ro, rd))
+    trace_compile_s = time.time() - t0
+    want = intersect_rays(flat, ro, rd)
+    wh = np.asarray(want.tri) >= 0
+    gh = np.asarray(got.tri) >= 0
+    assert (wh == gh).all()
+    assert np.allclose(np.asarray(got.t)[wh], np.asarray(want.t)[wh],
+                       rtol=1e-4, atol=1e-4)
+    # "Compiling in seconds": the scan path must not blow up trace/compile
+    # time the way a 200-deep static unroll would (generous CI bound).
+    assert trace_compile_s < 120
+
+    dist = jnp.full(ro.shape[0], 6.0)
+    a = np.asarray(occluded(flat, ro, rd, dist))
+    b = np.asarray(occluded(inst, ro, rd, dist))
+    assert (a == b).mean() > 0.995
+
+    # update_instance keeps cull boxes fresh: move instance 7 far away and
+    # make sure no ray still reports it.
+    moved = update_instance(inst, 7, _xlate(500.0, 0.0, 0.0))
+    after = jax.block_until_ready(intersect_any(moved, ro, rd))
+    assert not (np.asarray(after.inst) == 7).any()
+
+
 def test_instanced_render_smoke(scenes, rng):
     """Full render through the Renderer with instanced buffers: normals
     rotate per instance and the image statistically matches flattened."""

@@ -1,10 +1,12 @@
-"""Slab-local bitonic payload sort (ops/slab_sort.py) + its integrator
-integration. Interpret mode on CPU; the same kernel compiles with Mosaic
-on TPU.
+"""Slab-local bitonic payload sort (ops/slab_sort.py). Interpret mode on
+CPU; the same kernel compiles with Mosaic on TPU.
 
 Design evidence: experiments/slab_sort_sim.py — 64k-slab sorting recovers
 the global sort's packet coherence exactly (137.3 vs 137.4 steps/packet on
-the arch-260k diffuse wave), so the regroup never needs global movement.
+the arch-260k diffuse wave). As the FRAME regroup the kernel is a closed
+negative result (lost the round-5 device A/B to argsort+gathers, see
+render/integrator.py); it remains the archived treelet pipeline's regroup
+primitive, tested here.
 """
 
 import numpy as np
@@ -72,14 +74,14 @@ def test_slab_sort_uint32_dead_keys_last():
     assert (np.diff(ks.astype(np.int64) & 0xFFFFFFFF) >= 0).all()
 
 
-def test_trace_paths_slab_sort_matches_global(cornell_buffers, monkeypatch):
-    """With blue-noise sampling (per-PIXEL deterministic via the pid
-    routing), the frame radiance must be identical per pixel whichever
-    regroup implementation runs."""
+def test_sorted_frame_blue_noise_pixel_deterministic(cornell_buffers,
+                                                     monkeypatch):
+    """With blue-noise sampling, frame radiance must be bit-identical
+    whether or not the inter-bounce sort runs (the pid routing keeps every
+    pixel's noise columns attached through the permutation)."""
     from loupiote_tpu.render.integrator import trace_paths
     from loupiote_tpu.scene.blue_noise import generate_blue_noise
 
-    # Force the dynamic sort on despite the small node count.
     import loupiote_tpu.render.integrator as integ
 
     bufs = cornell_buffers
@@ -95,17 +97,13 @@ def test_trace_paths_slab_sort_matches_global(cornell_buffers, monkeypatch):
 
     monkeypatch.setattr(integ, "_tiles_ok", lambda w, r: True)
     imgs = {}
-    for name, env in (("global", None), ("slab", "1")):
-        if env is None:
-            monkeypatch.delenv("LOUPIOTE_SLAB_SORT", raising=False)
-        else:
-            monkeypatch.setenv("LOUPIOTE_SLAB_SORT", env)
-        # num_nodes gate: force the sort path for the small test scene.
-        b = bufs.replace(num_nodes=max(bufs.num_nodes, 16385))
+    for name, force_nodes in (("nosort", 0), ("sorted", 16385)):
+        # num_nodes gate: force the sort path on/off for the small scene.
+        b = bufs.replace(num_nodes=max(bufs.num_nodes, force_nodes))
         rad, _ = trace_paths(b, jnp.asarray(cam), W, H, key, bounces=3,
                              noise_tex=noise,
                              frame_count=jnp.int32(1))
         imgs[name] = np.asarray(rad)
-    assert imgs["global"].mean() > 1e-4
-    np.testing.assert_allclose(imgs["slab"], imgs["global"],
+    assert imgs["nosort"].mean() > 1e-4
+    np.testing.assert_allclose(imgs["sorted"], imgs["nosort"],
                                rtol=1e-5, atol=1e-6)
