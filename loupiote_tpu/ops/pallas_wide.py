@@ -364,7 +364,18 @@ def _wide_kernel(rows_ref,
                  for s in range(sub)], axis=0)
 
         node_lane = lane_act & (_bc(is_node) > 0)
-        hits, tmins, ptrs = [], [], []
+        # The per-child hit test is a cross-lane reduce — the deepest
+        # non-fetch link of the step chain. Default ("packed"): each
+        # child's lane-hit mask contributes a disjoint 8-bit count field
+        # (<=128 lanes fits 8 bits) and groups of 4 children share ONE
+        # lane sum-reduce — width/4 reduces total instead of width
+        # independent min-reduces (which the VPU issues serially even
+        # though they are data-parallel). The per-child min-tnear is only
+        # needed by the "pairwise" A/B order (default order is the
+        # hoisted octant priority). ablate="minred" restores the per-child
+        # min-reduce for A/B.
+        packed = ("pairwise" not in ablate and "minred" not in ablate)
+        hits, tmins, ptrs, rhits = [], [], [], []
         for ci in range(width):
             src = rs if ci < WIDTH else rs_b
             b = 16 * (ci % WIDTH)
@@ -393,12 +404,25 @@ def _wide_kernel(rows_ref,
                                  jnp.maximum(t1z, t2z))
             pr = t_best if not any_hit else t0
             rhit = (tf >= jnp.maximum(tn, 0.0)) & (tn < pr) & node_lane
+            ptrs.append(cptr)
+            if packed:
+                rhits.append(rhit)
+                continue
             # One reduce per child: the min-tnear doubles as the hit test.
             ctmin = jnp.min(jnp.where(rhit, tn, BIG), axis=1, keepdims=True)
             chit = ((ctmin < BIG) & (cptr != -1)).astype(jnp.int32)  # (8,1)
             hits.append(chit)
             tmins.append(ctmin)
-            ptrs.append(cptr)
+        if packed:
+            for g in range(0, width, 4):
+                fields = _tree(jnp.add, [
+                    rhits[g + j].astype(jnp.int32) << (8 * j)
+                    for j in range(min(4, width - g))])  # (8,128)
+                cnt = _rowsum(fields)  # (8,1): 4 disjoint lane counts
+                for j in range(min(4, width - g)):
+                    hits.append((((cnt >> (8 * j)) & 255) > 0)
+                                .astype(jnp.int32)
+                                * (ptrs[g + j] != -1).astype(jnp.int32))
         H = jnp.concatenate(hits, axis=1)  # (8,8) i32
         P = jnp.concatenate(ptrs, axis=1)  # (8,8) i32
         TN = jnp.concatenate(tmins, axis=1) if "pairwise" in ablate else None
