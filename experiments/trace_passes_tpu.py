@@ -33,7 +33,9 @@ def main():
     from loupiote_tpu.config import BlitMode
 
     driver = Driver((256, 256))
-    driver.load_file("/root/reference/assets/cornell-box.glb")
+    driver.load_gltf_path("/root/reference/assets/cornell-box.glb")
+    driver.load_blue_noise()
+    driver.upload_scene()
     driver.settings.blit_mode = BlitMode.DENOISED_PATHTRACE
     driver.step(0.016)  # compile + one real frame
     out = driver.measure_passes()

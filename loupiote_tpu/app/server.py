@@ -106,6 +106,10 @@ class ViewerServer:
                  jpeg_quality: int = 85, max_fps: float = 60.0,
                  screenshot_dir: Optional[str] = None):
         self.driver = driver
+        # Warm startup: persist/reuse the compiled frame executable across
+        # server processes (render/aot.py — 0.5 s deserialize vs 70-94 s
+        # fresh-process compile through the tunnel).
+        driver.renderer.enable_aot_cache()
         self.input = InputManager()
         self._events: "queue.Queue[dict]" = queue.Queue()
         self._frame_lock = threading.Condition()

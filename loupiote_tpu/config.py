@@ -43,6 +43,11 @@ class RenderConfig:
     # A-SVGF (à-trous iteration count must stay even: asvgf.rs:286-287).
     atrous_iterations: int = 4
     denoise: bool = True
+    # Samples per pixel traced per frame in ONE batched wave (the frame
+    # still accumulates/denoises as one sample = their mean). >1 packs
+    # tighter secondary sub-packets and amortizes per-wave fixed costs
+    # (experiments/spp_sim.py: 0.900x union steps/ray at 4).
+    samples_per_frame: int = 1
 
     @property
     def max_pixels(self) -> int:

@@ -73,8 +73,9 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
                 row_offset=0, rows: int | None = None,
                 sort_rays: bool = True,
                 noise_tex: jnp.ndarray | None = None,
-                frame_count: jnp.ndarray | None = None):
-    """Trace one sample per pixel. Returns (radiance (R,3), GBuffer).
+                frame_count: jnp.ndarray | None = None,
+                spp: int = 1):
+    """Trace ``spp`` samples per pixel. Returns (radiance (R,3), GBuffer).
 
     ``row_offset``/``rows`` select a horizontal slab of the image — the unit
     of multi-device tile parallelism (parallel/tiles.py shards rows over the
@@ -89,29 +90,60 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
     blue-noise texture with per-dimension R2 rotations instead of the PRNG
     (full RadianceParameters.use_noise_texture parity,
     renderer.rs:666-673).
+
+    ``spp``: samples per pixel traced in ONE batched wave (returned
+    radiance is their mean). Batching densifies ray space, so the sorted
+    secondary waves pack tighter sub-packets — measured 0.956x (spp=2) /
+    0.900x (spp=4) union steps per ray on the arch-260k diffuse wave
+    (experiments/spp_sim.py) — and amortizes the per-wave fixed costs.
+    Sample s draws blue-noise with an effective frame index
+    ``frame_count*spp + s`` so samples stay decorrelated.
     """
     if rows is None:
         rows = height
     R = width * rows
+    N = spp * R
     k_jit, k_bounce = jax.random.split(key)
+    tiled = _tiles_ok(width, rows)
+
+    def tile(x):
+        return to_tile_order(x, width, rows) if tiled else x
+
     # named_scope tokens ("raygen", "intersectN", "shadeN", "sortbN") flow
     # into HLO op metadata; app/trace_parse.py attributes fused-kernel
     # device-trace times to pass labels by them.
     with jax.named_scope("raygen"):
-        if jitter is None:
-            jitter = jax.random.uniform(k_jit, (R, 2))
-        ro, rd = generate_rays(cam_to_world, width, height, vfov, jitter,
-                               row_offset=row_offset, rows=rows)
+        if spp > 1 and noise_tex is not None:
+            # Per-sample AA jitter (dim 0) at the sample's effective frame
+            # index — tiling the caller's one plane would duplicate every
+            # primary ray across samples.
+            from .renderer import blue_noise_uv
 
-    # Reorder rays into spatially coherent 8x128 tiles so sub-packets share
-    # traversal paths. Tile ordering is a pure reshape/transpose (free);
-    # everything below lives in tile order and transposes back at the end.
-    tiled = _tiles_ok(width, rows)
-    if tiled:
-        ro = to_tile_order(ro, width, rows)
-        rd = to_tile_order(rd, width, rows)
-        if nee_uv is not None:
-            nee_uv = to_tile_order(nee_uv, width, rows)
+            jitter = jnp.concatenate([
+                blue_noise_uv(noise_tex, frame_count * spp + s, width,
+                              height, dim=0, row_offset=row_offset,
+                              rows=rows) for s in range(spp)])
+        elif jitter is None:
+            jitter = jax.random.uniform(k_jit, (N, 2))
+        elif spp > 1 and jitter.shape[0] == R:
+            jitter = jnp.tile(jitter, (spp, 1))
+        parts = [generate_rays(cam_to_world, width, height, vfov,
+                               jitter[s * R:(s + 1) * R],
+                               row_offset=row_offset, rows=rows)
+                 for s in range(spp)]
+        # Reorder rays into spatially coherent 8x128 tiles so sub-packets
+        # share traversal paths (a pure reshape/transpose — free); slot
+        # layout is sample-major: slot = s*R + tile_pixel_index.
+        ro = (tile(parts[0][0]) if spp == 1
+              else jnp.concatenate([tile(p[0]) for p in parts]))
+        rd = (tile(parts[0][1]) if spp == 1
+              else jnp.concatenate([tile(p[1]) for p in parts]))
+    if spp > 1 and noise_tex is not None:
+        nee_uv = None  # rebuilt per sample by bn() at bounce 0
+    if nee_uv is not None:
+        nee_uv = tile(nee_uv)
+        if spp > 1:
+            nee_uv = jnp.tile(nee_uv, (spp, 1))
 
     # Dynamic inter-bounce sorting only pays off when traversal is the
     # dominant cost (large BVHs); the permutation gathers cost ~25ms per
@@ -120,19 +152,23 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
 
     state = BounceState(
         ro=ro, rd=rd,
-        throughput=jnp.ones((R, 3)),
-        radiance=jnp.zeros((R, 3)),
-        alive=jnp.ones(R, jnp.bool_),
-        bsdf_pdf=jnp.zeros(R),
-        use_mis=jnp.zeros(R, jnp.bool_),
+        throughput=jnp.ones((N, 3)),
+        radiance=jnp.zeros((N, 3)),
+        alive=jnp.ones(N, jnp.bool_),
+        bsdf_pdf=jnp.zeros(N),
+        use_mis=jnp.zeros(N, jnp.bool_),
     )
 
     def bn(dim):
         from .renderer import blue_noise_uv
 
-        plane = blue_noise_uv(noise_tex, frame_count, width, height,
-                              dim=dim, row_offset=row_offset, rows=rows)
-        return to_tile_order(plane, width, rows) if tiled else plane
+        planes = []
+        for s in range(spp):
+            fc = frame_count * spp + s if spp > 1 else frame_count
+            planes.append(tile(blue_noise_uv(
+                noise_tex, fc, width, height, dim=dim,
+                row_offset=row_offset, rows=rows)))
+        return planes[0] if spp == 1 else jnp.concatenate(planes)
 
     gbuffer = None
     scene_lo = scene.node_min[0]
@@ -144,7 +180,7 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
     # the NEE shadow wave of that bounce, which the local-sort scheme
     # left in unsorted caller order — and the scatter-back is replaced
     # by one final pixel-id scatter of the radiance.
-    pid = jnp.arange(R, dtype=jnp.int32)  # sorted-slot -> pixel index
+    pid = jnp.arange(N, dtype=jnp.int32)  # sorted-slot -> original slot
     for bounce in range(bounces):
         if do_sort and bounce > 0:
             from ..ops.sort import ray_sort_key, sort_order
@@ -160,12 +196,15 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
                                 active=state.alive)
         if bounce == 0:
             with jax.named_scope("gbuffer"):
-                surf0 = decode_surface(scene, state.ro, state.rd, hit,
-                                       textures=scene.has_textures)
-                missed = hit.tri < 0
+                # G-buffer comes from sample 0 (slots [:R] — bounce 0 is
+                # pre-sort, so sample blocks are still contiguous).
+                hit0 = jax.tree.map(lambda x: x[:R], hit)
+                surf0 = decode_surface(scene, state.ro[:R], state.rd[:R],
+                                       hit0, textures=scene.has_textures)
+                missed = hit0.tri < 0
                 gbuffer = GBuffer(
                     normal=jnp.where(missed[:, None], 0.0, surf0.n_shade),
-                    depth=hit.t,
+                    depth=hit0.t,
                     mesh_id=jnp.where(missed, -1, surf0.inst_id),
                     albedo=jnp.where(missed[:, None], 1.0, surf0.albedo),
                     world_pos=surf0.pos,
@@ -191,7 +230,13 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
                                   lobe_u=lobe_u)
 
     radiance = state.radiance
-    if do_sort:
+    if spp > 1:
+        # Average the spp samples of each pixel with ONE scatter-add
+        # (slot s*R + p -> pixel p; handles the sort permutation too).
+        px = (pid if do_sort else jnp.arange(N, dtype=jnp.int32)) % R
+        radiance = jnp.zeros((R, 3), radiance.dtype).at[px].add(
+            radiance) / spp
+    elif do_sort:
         # One scatter returns the (possibly twice-)permuted radiance to
         # pixel order.
         radiance = jnp.zeros_like(radiance).at[pid].set(radiance)

@@ -122,14 +122,14 @@ def blue_noise_uv(noise_tex: jnp.ndarray, frame_count: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("width", "height", "bounces",
                                              "nee", "vfov", "mode",
                                              "atrous_iterations",
-                                             "use_noise"))
+                                             "use_noise", "spp"))
 def render_frame(scene: SceneBuffers, state: RenderState,
                  cam_to_world: jnp.ndarray, world_to_screen: jnp.ndarray,
                  accumulate_flag: jnp.ndarray, *, width: int, height: int,
                  bounces: int, nee: bool, vfov: float,
                  mode: str = "pathtrace",
                  atrous_iterations: int = 4,
-                 use_noise: bool = False) -> RenderState:
+                 use_noise: bool = False, spp: int = 1) -> RenderState:
     """One progressive frame (raytrace() analog, renderer.rs:392-549).
 
     ``mode``: 'pathtrace' runs progressive accumulation; 'denoised' runs the
@@ -150,7 +150,7 @@ def render_frame(scene: SceneBuffers, state: RenderState,
         scene, cam_to_world, width, height, k_frame,
         bounces=bounces, vfov=vfov, nee=nee, jitter=jitter, nee_uv=nee_uv,
         noise_tex=state.noise_tex if use_noise else None,
-        frame_count=state.frame_count if use_noise else None)
+        frame_count=state.frame_count if use_noise else None, spp=spp)
     img = sample.reshape(height, width, 3)
 
     # Motion vectors: previous-frame screen uv minus current pixel uv
@@ -280,6 +280,9 @@ class Renderer:
         self.scene: Optional[SceneBuffers] = None
         self.queries = None  # timing hook, installed by app layer
         self.last_reload_error: Optional[str] = None
+        self._aot_dir = None  # enable_aot_cache() turns the AOT path on
+        self._aot = None
+        self._aot_loaded = False
         self._set_size(size)
 
     # -- sizing ------------------------------------------------------------
@@ -325,6 +328,18 @@ class Renderer:
     def use_noise_texture(self, flag: bool) -> None:
         self.use_noise = bool(flag)
 
+    # -- AOT executable cache ----------------------------------------------
+    def enable_aot_cache(self, cache_dir: str | None = None) -> None:
+        """Persist/reuse the compiled frame executable across processes
+        (render/aot.py): a fresh process pays ~0.5 s deserialize instead
+        of the 70-94 s remote-compile stall (VERDICT r4 #4; measured in
+        artifacts/r5_device3/aot_probe.log). Entries auto-invalidate by
+        fingerprint (shapes, statics, backend); any load failure falls
+        back to the jit path."""
+        self._aot_dir = cache_dir or True  # True = module default dir
+        self._aot = None
+        self._aot_loaded = False
+
     def set_blit_mode(self, mode: BlitMode) -> None:
         self.mode = mode
 
@@ -366,17 +381,55 @@ class Renderer:
                 use_noise=self.use_noise and self.noise_texture is not None,
             )
             return
-        self.state = render_frame(
-            self.scene, self.state,
-            jnp.asarray(cam.transform),
-            jnp.asarray(cam.world_to_screen(self.config.near, self.config.far)),
-            jnp.bool_(self.accumulate),
+        args = (self.scene, self.state, jnp.asarray(cam.transform),
+                jnp.asarray(cam.world_to_screen(self.config.near,
+                                                self.config.far)),
+                jnp.bool_(self.accumulate))
+        statics = dict(
             width=self.size[0], height=self.size[1],
             bounces=bounces, nee=self.config.nee,
             vfov=float(np.deg2rad(self.config.vfov_deg)),
             mode=mode, atrous_iterations=self.config.atrous_iterations,
             use_noise=self.use_noise and self.noise_texture is not None,
+            spp=self.config.samples_per_frame,
         )
+        if self._aot_dir is not None:
+            if self._raytrace_aot(args, statics):
+                return
+        self.state = render_frame(*args, **statics)
+
+    def _raytrace_aot(self, args, statics) -> bool:
+        """Frame via the AOT executable cache (enable_aot_cache). Returns
+        False on any mismatch/failure — the caller falls back to jit."""
+        from . import aot
+
+        if len(jax.devices()) != 1:
+            # Serialized executables pin a device assignment; only the
+            # single-chip interactive path is supported (multi-device
+            # hosts fall back to jit — observed: a deserialized
+            # executable on an 8-device host demands 8-shard args).
+            return False
+        cache_dir = None if self._aot_dir is True else self._aot_dir
+        fp = aot.fingerprint(args[0], args[1], tuple(sorted(statics.items())))
+        if self._aot is None or self._aot[0] != fp:
+            compiled = aot.load(fp, cache_dir)
+            self._aot_loaded = compiled is not None
+            if compiled is None:
+                try:
+                    compiled = render_frame.lower(*args, **statics).compile()
+                    aot.save(compiled, fp, cache_dir)
+                except Exception:
+                    return False
+            self._aot = (fp, compiled)
+        try:
+            self.state = self._aot[1](*args)
+            return True
+        except Exception:
+            # Deserialized executable rejected the call (aval/weak-type
+            # mismatch, stale device): drop it and let jit handle the frame.
+            self._aot = None
+            self._aot_loaded = False
+            return False
 
     # -- display -----------------------------------------------------------
     def blit(self, display_size: bool = True) -> np.ndarray:
@@ -478,16 +531,26 @@ class Renderer:
                 BlitMode.GBUFFER: "none",
                 BlitMode.MOTION_VECTOR: "none"}[self.mode]
 
+        _calls = [0]
+
         def fused_frame():
+            # Fresh RNG per call: the tunneled backend dedupes repeat
+            # executions with identical inputs, which turns repeat timings
+            # (and the profiler trace) into cached no-ops (bench.py
+            # header; observed in artifacts/r5_device3/trace_passes.log).
+            _calls[0] += 1
+            st = self.state.replace(key=jax.random.fold_in(self.state.key,
+                                                           _calls[0]))
             return render_frame(
-                self.scene, self.state, cam_m,
+                self.scene, st, cam_m,
                 jnp.asarray(cam.world_to_screen(self.config.near,
                                                 self.config.far)),
                 jnp.bool_(self.accumulate),
                 width=w, height=h, bounces=bounces, nee=self.config.nee,
                 vfov=float(np.deg2rad(self.config.vfov_deg)), mode=mode,
                 atrous_iterations=self.config.atrous_iterations,
-                use_noise=self.use_noise and self.noise_texture is not None)
+                use_noise=self.use_noise and self.noise_texture is not None,
+                spp=self.config.samples_per_frame)
 
         if method in ("auto", "trace"):
             from ..app.trace_parse import (frame_scope_labels,

@@ -220,7 +220,7 @@ def intersect_instanced(bufs: SceneBuffers, ro, rd, tmax=None, active=None,
     act = (jnp.ones(R, jnp.bool_) if active is None else active)
     K = len(bufs.inst_mesh)
 
-    def visit(carry, slot, w2o, tri_base, inst_id, box):
+    def visit(carry, slot, w2o, tri_base, inst_id, box, in_scan=False):
         best_t, best_tri, best_inst = carry
         lane_act = act
         if box is not None:
@@ -230,8 +230,24 @@ def intersect_instanced(bufs: SceneBuffers, ro, rd, tmax=None, active=None,
             lane_act = lane_act & (best_tri < 0)  # already blocked: skip
         ro_o = ro @ w2o[:3, :3].T + w2o[:3, 3]
         rd_o = rd @ w2o[:3, :3].T  # unnormalized: t stays world-param
-        hit = intersect_any(bufs.blas[slot], ro_o, rd_o, tmax=best_t,
-                            active=lane_act, any_hit=any_hit)
+        if in_scan:
+            # A Pallas custom call inside lax.scan crashes XLA:TPU's
+            # priority-fusion cost model (SIGILL in
+            # TpuPriorityFusionQueue::CalculateProducerPriority...,
+            # artifacts/r5_device2/bench_instanced.log; reproduced at
+            # small scale). Scanned meshes are small prop BLASes, so the
+            # vectorized XLA packet path is the safe body.
+            import math
+
+            from ..ops.intersect import PACKET_SIZE, intersect_packets
+
+            hit = intersect_packets(bufs.blas[slot], ro_o, rd_o,
+                                    tmax=best_t, active=lane_act,
+                                    any_hit=any_hit,
+                                    packet_size=math.gcd(R, PACKET_SIZE))
+        else:
+            hit = intersect_any(bufs.blas[slot], ro_o, rd_o, tmax=best_t,
+                                active=lane_act, any_hit=any_hit)
         if any_hit:
             win = hit.tri >= 0  # blocked flag; t is not meaningful
         else:
@@ -247,13 +263,35 @@ def intersect_instanced(bufs: SceneBuffers, ro, rd, tmax=None, active=None,
             carry = visit(carry, slot, bufs.inst_w2o[k],
                           bufs.inst_tri_base[k], k, None)
     else:
+        # XLA:TPU's priority-fusion cost model SIGILLs when it considers
+        # fusing computed ray producers into the scan region (bisect:
+        # experiments/scan_crash_probe{,2,3}.py — argument rays compile,
+        # raygen-computed rays crash, Pallas-free variants crash too).
+        # An optimization barrier pins the scan inputs as materialized
+        # values, taking the crashing fusion candidates off the table.
+        ro, rd, act, best_t = jax.lax.optimization_barrier(
+            (ro, rd, act, best_t))
         slots = np.asarray(bufs.inst_mesh)
         for slot in sorted(set(bufs.inst_mesh)):
-            ids = jnp.asarray(np.nonzero(slots == slot)[0].astype(np.int32))
+            idx = np.nonzero(slots == slot)[0].astype(np.int32)
+            if len(idx) <= 2:
+                # Single/rare instances unroll: a length-1 scan only adds
+                # compile surface (and a scan wrapping the big wide-mesh
+                # kernel crashed XLA:TPU's priority-fusion cost model —
+                # artifacts/r5_device2/bench_instanced.log).
+                for k in idx:
+                    k = int(k)
+                    carry = visit(carry, slot, bufs.inst_w2o[k],
+                                  bufs.inst_tri_base[k], k,
+                                  (bufs.inst_aabb_lo[k],
+                                   bufs.inst_aabb_hi[k]))
+                continue
+            ids = jnp.asarray(idx)
 
             def body(c, k, slot=slot):
                 c = visit(c, slot, bufs.inst_w2o[k], bufs.inst_tri_base[k],
-                          k, (bufs.inst_aabb_lo[k], bufs.inst_aabb_hi[k]))
+                          k, (bufs.inst_aabb_lo[k], bufs.inst_aabb_hi[k]),
+                          in_scan=True)
                 return c, None
 
             carry, _ = jax.lax.scan(body, carry, ids)

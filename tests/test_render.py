@@ -191,3 +191,136 @@ def test_blit_modes(cornell_bufs):
     mv = np.asarray(r.state.motion)
     # Static camera: motion is bounded by the sub-pixel AA jitter.
     assert np.abs(mv).max() <= 1.5 / 32
+
+
+def test_spp_batched_matches_separate_frames_blue_noise(cornell_bufs,
+                                                        monkeypatch):
+    """spp=2 in ONE batched wave must reproduce the mean of the two 1spp
+    frames it replaces bit-closely: sample s draws every blue-noise
+    dimension at effective frame index frame_count*spp + s, and the final
+    pixel scatter-add averages exactly. Run with the inter-bounce sort
+    both off (small-scene default) and forced on (the permutation must
+    keep each slot's noise columns attached via pid)."""
+    from loupiote_tpu.render.renderer import blue_noise_uv
+    from loupiote_tpu.scene.blue_noise import generate_blue_noise
+
+    import loupiote_tpu.render.integrator as integ
+
+    raw = generate_blue_noise()
+    noise = jnp.asarray((raw[..., :2].astype(np.float32) + 0.5) / 256.0)
+    W, H = 128, 48
+    key = jr.PRNGKey(7)
+    fc = jnp.int32(3)
+    monkeypatch.setattr(integ, "_tiles_ok", lambda w, r: True)
+    for force_nodes in (0, 16385):
+        bufs = cornell_bufs.replace(
+            num_nodes=max(cornell_bufs.num_nodes, force_nodes))
+        batched, gb2 = trace_paths(bufs, jnp.asarray(CORNELL_CAM), W, H,
+                                   key, bounces=3, noise_tex=noise,
+                                   frame_count=fc, spp=2)
+        singles, gbs = [], []
+        for s in range(2):
+            fcs = fc * 2 + s
+            jit = blue_noise_uv(noise, fcs, W, H, dim=0)
+            rad, gb1 = trace_paths(bufs, jnp.asarray(CORNELL_CAM), W, H,
+                                   key, bounces=3, noise_tex=noise,
+                                   frame_count=fcs, jitter=jit)
+            singles.append(np.asarray(rad))
+            gbs.append(gb1)
+        want = (singles[0] + singles[1]) / 2
+        assert want.mean() > 1e-4
+        np.testing.assert_allclose(np.asarray(batched), want,
+                                   rtol=1e-5, atol=1e-6)
+        # G-buffer is sample 0's, at pixel resolution.
+        np.testing.assert_allclose(np.asarray(gb2.depth),
+                                   np.asarray(gbs[0].depth),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_spp_prng_statistical(cornell_bufs):
+    """PRNG path: one spp=4 wave is statistically the mean of 4 frames."""
+    w = h = 48
+    rad4, _ = trace_paths(cornell_bufs, jnp.asarray(CORNELL_CAM), w, h,
+                          jr.PRNGKey(0), bounces=2, spp=4)
+    acc = 0.0
+    for i in range(4):
+        rad, _ = trace_paths(cornell_bufs, jnp.asarray(CORNELL_CAM), w, h,
+                             jr.PRNGKey(10 + i), bounces=2)
+        acc = acc + np.asarray(rad)
+    acc /= 4
+    a, b = np.asarray(rad4).mean(), acc.mean()
+    assert a > 1e-3
+    assert abs(a - b) / b < 0.15
+
+
+def test_renderer_samples_per_frame(cornell_bufs):
+    """Config plumbing: samples_per_frame=2 renders and accumulates."""
+    r = Renderer((32, 32), RenderConfig(downsample_factor=1.0,
+                                        denoise=False,
+                                        samples_per_frame=2))
+    r.set_resources(cornell_bufs)
+    r.accumulate = True
+    for _ in range(2):
+        r.raytrace(CORNELL_CAM)
+    img = r.blit()
+    assert img.shape == (32, 32, 3)
+    assert img.mean() > 2
+
+
+def test_aot_executable_cache(tmp_path):
+    """render/aot.py: the compiled frame executable round-trips through
+    the on-disk cache ACROSS PROCESSES — the second process loads in lieu
+    of compiling (the warm-startup path, VERDICT r4 #4; device numbers in
+    artifacts/r5_device3/aot_probe.log). Runs in subprocesses with a
+    single CPU device: the AOT path is single-device by design (the
+    Renderer falls back to jit on multi-device hosts, so the in-process
+    8-device test env cannot exercise it)."""
+    import os
+    import subprocess
+    import sys
+
+    script = r'''
+import sys, json
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import loupiote_tpu as lt
+from loupiote_tpu.render import Renderer
+from loupiote_tpu.config import RenderConfig
+from loupiote_tpu.scene import Light
+
+scene = lt.Scene.default()
+lt.load_gltf_path("/root/reference/assets/cornell-box.glb", scene)
+scene.lights = [Light(origin=np.array([-1,3.55,-.8],np.float32),
+    edge_u=np.array([2.,0,0],np.float32), edge_v=np.array([0,0,1.6],np.float32),
+    emission=np.array([1.,.95,.9],np.float32), intensity=20.0)]
+bufs = lt.build_scene_buffers(scene)
+r = Renderer((24, 24), RenderConfig(downsample_factor=1.0, denoise=False,
+                                    bounces_moving=2))
+r.enable_aot_cache(sys.argv[1])
+r.set_resources(bufs)
+cam = np.eye(4, dtype=np.float32); cam[:3,2]=[0,0,-1]; cam[:3,3]=[0,.6,12]
+r.raytrace(cam)
+img = r.blit()
+print(json.dumps({"aot_set": r._aot is not None,
+                  "loaded": bool(r._aot_loaded),
+                  "mean": float(img.mean())}))
+'''
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in f)
+    out = []
+    for _ in range(2):
+        p = subprocess.run([sys.executable, "-c", script, str(tmp_path)],
+                           capture_output=True, text=True, timeout=600,
+                           env=env, cwd="/root/repo")
+        assert p.returncode == 0, p.stderr[-800:]
+        import json as _json
+
+        out.append(_json.loads(p.stdout.strip().splitlines()[-1]))
+    assert out[0]["aot_set"] and not out[0]["loaded"]  # compiled + saved
+    assert out[1]["aot_set"] and out[1]["loaded"]  # cross-process load
+    assert len(list(tmp_path.glob("*.aot"))) == 1
+    # Same seed + same executable -> identical frames both ways.
+    assert out[0]["mean"] == out[1]["mean"] > 2.0
