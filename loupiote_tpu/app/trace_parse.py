@@ -171,6 +171,10 @@ def frame_scope_labels(bounces: int, denoised: bool = False
             m[f"sortb{b}"] = f"sort {b}"
         m[f"intersect{b}"] = ("primary intersection" if b == 0
                               else f"intersection {b}")
+        # Compound token FIRST: the shadow wave nests inside the shade
+        # scope (ops/shade.py), and attribution takes the first matching
+        # pattern — so "shadeB/shadow" must be tested before "shadeB".
+        m[f"shade{b}/shadow"] = f"shadow {b}"
         m[f"shade{b}"] = f"shading {b}"
     if denoised:
         m["asvgf"] = "asvgf"

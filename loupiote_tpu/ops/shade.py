@@ -361,7 +361,11 @@ def shade_step(scene, state: BounceState, hit: Hit, key, nee: bool = True,
         cos_i = jnp.maximum(jnp.sum(surf.n_shade * wi_l, axis=1), 0.0)
         contrib_mask = hit_geo & (pdf_l > 0) & (cos_i > 0) & (luminance(f_l) > 0)
         shadow_o = surf.pos + surf.n_geom * EPS_OFFSET
-        blocked = occluded(scene, shadow_o, wi_l, dist_l, active=contrib_mask)
+        # named_scope: lets the fused-frame trace split shadow traversal
+        # out of the shading label (app/trace_parse.py).
+        with jax.named_scope("shadow"):
+            blocked = occluded(scene, shadow_o, wi_l, dist_l,
+                               active=contrib_mask)
         w = power_heuristic(pdf_l, pdf_b_l)
         contrib = throughput * f_l * emit_l * (cos_i * w / jnp.maximum(pdf_l, 1e-12))[:, None]
         radiance = radiance + jnp.where((contrib_mask & ~blocked)[:, None], contrib, 0.0)
@@ -376,7 +380,8 @@ def shade_step(scene, state: BounceState, hit: Hit, key, nee: bool = True,
         mask_e = hit_geo & (pdf_e > 0) & (cos_e > 0) & (luminance(f_e) > 0)
         shadow_o = surf.pos + surf.n_geom * EPS_OFFSET
         far = scene_exit_t(scene, shadow_o, wi_e)
-        blocked_e = occluded(scene, shadow_o, wi_e, far, active=mask_e)
+        with jax.named_scope("shadow"):
+            blocked_e = occluded(scene, shadow_o, wi_e, far, active=mask_e)
         env_l = eval_env(scene, wi_e)
         w_e = power_heuristic(pdf_e, pdf_b_e)
         contrib_e = throughput * f_e * env_l * (cos_e * w_e / jnp.maximum(pdf_e, 1e-12))[:, None]
@@ -406,7 +411,9 @@ def shade_step(scene, state: BounceState, hit: Hit, key, nee: bool = True,
         far = scene_exit_t(scene, gro, wi)
         occl_t = jnp.where(g_lhit, g_t, far) if probe_term else g_t
         occl_active = ok & (g_lhit | probe_term)
-        g_blocked = occluded(scene, gro, wi, occl_t, active=occl_active)
+        with jax.named_scope("shadow"):
+            g_blocked = occluded(scene, gro, wi, occl_t,
+                                 active=occl_active)
 
         w_gl = jnp.where(jnp.bool_(nee), power_heuristic(pdf, g_pdf), 1.0)
         add_l = (ok & g_lhit & ~g_blocked)

@@ -46,6 +46,66 @@ def from_tile_order(x: jnp.ndarray, width: int, rows: int) -> jnp.ndarray:
     return x.reshape(rows * width, *lead)
 
 
+def _permute_packed(state, pid, order):
+    """Apply the sort permutation as TWO row-major matrix gathers instead
+    of one gather per state column.
+
+    The measured frame attribution (artifacts/r5_device4/arch_trace.log)
+    puts each inter-bounce sort at 183.5 ms — 20% of the 1080p frame for
+    the two sorts. Most of that is 16 independent (R,) gathers all
+    applying the SAME 8.3M-row permutation; packing the f32 columns into
+    one (R,13) matrix (and int/bool + pid into one (R,3) i32 matrix)
+    walks the random index list twice total with wide contiguous rows,
+    instead of 16 times with 4-byte rows. DEFAULT after winning the
+    frame-level device A/B by -233.5 ms (1840.6 -> 1607.1 ms, -12.7%,
+    artifacts/r5_device5/frame_sort_cost_ab.log; bit-identical frames,
+    tests/test_render.py). LOUPIOTE_PACKED_PERMUTE=0 restores the
+    per-column permute for A/B.
+    """
+    leaves, treedef = jax.tree.flatten(state)
+    fcols, icols, kinds = [], [], []
+    for leaf in leaves:
+        col = leaf.reshape(leaf.shape[0], -1)
+        if leaf.dtype == jnp.float32:
+            kinds.append(("f", col.shape[1], leaf))
+            fcols.append(col)
+        else:
+            kinds.append(("i", col.shape[1], leaf))
+            icols.append(col.astype(jnp.int32))
+    icols.append(pid[:, None])
+    fmat = jnp.concatenate(fcols, axis=1)[order] if fcols else None
+    imat = jnp.concatenate(icols, axis=1)[order]
+    out, fo, io = [], 0, 0
+    for kind, w, leaf in kinds:
+        if kind == "f":
+            col = fmat[:, fo:fo + w]
+            fo += w
+        else:
+            col = imat[:, io:io + w].astype(leaf.dtype)
+            io += w
+        out.append(col.reshape(leaf.shape))
+    new_pid = imat[:, io]
+    return jax.tree.unflatten(treedef, out), new_pid
+
+
+def _packed_permute_on() -> bool:
+    import os
+
+    return os.environ.get("LOUPIOTE_PACKED_PERMUTE", "1") != "0"
+
+
+def _sort_max() -> int:
+    """Sort only the first N secondary bounces (LOUPIOTE_SORT_MAX).
+
+    The measured attribution prices each sort at 183.5 ms; bounce-2 rays
+    derive from bounce-1's already-sorted slabs, so the marginal
+    coherence the second sort buys may not cover its cost. Frame-level
+    A/B knob; default sorts every bounce (the shipped behavior)."""
+    import os
+
+    return int(os.environ.get("LOUPIOTE_SORT_MAX", 1 << 30))
+
+
 # The slab-local Pallas payload sort (ops/slab_sort.py) as the inter-
 # bounce regroup is a CLOSED negative result: despite winning primitive
 # timings (10.6 vs 17.7 ns/elem) it LOST at frame level on device —
@@ -182,15 +242,18 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
     # by one final pixel-id scatter of the radiance.
     pid = jnp.arange(N, dtype=jnp.int32)  # sorted-slot -> original slot
     for bounce in range(bounces):
-        if do_sort and bounce > 0:
+        if do_sort and 0 < bounce <= _sort_max():
             from ..ops.sort import ray_sort_key, sort_order
 
             with jax.named_scope(f"sortb{bounce}"):
                 key = ray_sort_key(state.ro, state.rd, state.alive,
                                    scene_lo, scene_hi)
                 order = sort_order(key)
-                state = jax.tree.map(lambda x: x[order], state)
-                pid = pid[order]
+                if _packed_permute_on():
+                    state, pid = _permute_packed(state, pid, order)
+                else:
+                    state = jax.tree.map(lambda x: x[order], state)
+                    pid = pid[order]
         with jax.named_scope(f"intersect{bounce}"):
             hit = intersect_any(scene, state.ro, state.rd,
                                 active=state.alive)
@@ -213,16 +276,22 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
         light_uv = nee_uv if bounce == 0 else None
         bsdf_uv = lobe_u = None
         if noise_tex is not None:
-            def bn_here(dim):
-                plane = bn(dim)
-                # Blue-noise planes are pixel-ordered; route them
-                # through the sorted-state permutation when active.
-                return plane[pid] if (do_sort and bounce > 0) else plane
-
-            if light_uv is None:
-                light_uv = bn_here(1 + 3 * bounce)
-            bsdf_uv = bn_here(2 + 3 * bounce)
-            lobe_u = bn_here(3 + 3 * bounce)[:, 0]
+            # One packed (N,5) gather routes the bounce's blue-noise
+            # planes through the sorted-state permutation instead of 5
+            # per-column gathers (the same packed-permute win as
+            # _permute_packed; planes are pixel-ordered, pid maps slots).
+            need_light = light_uv is None
+            cols = ([bn(1 + 3 * bounce)] if need_light else [])
+            cols += [bn(2 + 3 * bounce), bn(3 + 3 * bounce)[:, :1]]
+            mat = jnp.concatenate(cols, axis=1)
+            if do_sort and bounce > 0:
+                mat = mat[pid]
+            off = 0
+            if need_light:
+                light_uv = mat[:, 0:2]
+                off = 2
+            bsdf_uv = mat[:, off:off + 2]
+            lobe_u = mat[:, off + 2]
         with jax.named_scope(f"shade{bounce}"):
             state, _ = shade_step(scene, state, hit, k_step, nee=nee,
                                   last=(bounce == bounces - 1),

@@ -324,3 +324,37 @@ print(json.dumps({"aot_set": r._aot is not None,
     assert len(list(tmp_path.glob("*.aot"))) == 1
     # Same seed + same executable -> identical frames both ways.
     assert out[0]["mean"] == out[1]["mean"] > 2.0
+
+
+def test_packed_permute_bit_identical(cornell_bufs, monkeypatch):
+    """LOUPIOTE_PACKED_PERMUTE applies the same permutation via two packed
+    matrix gathers — the frame must be bit-identical to the per-column
+    permute, and LOUPIOTE_SORT_MAX=1 must change only statistics (same
+    estimator), not determinism under blue noise."""
+    from loupiote_tpu.scene.blue_noise import generate_blue_noise
+
+    import loupiote_tpu.render.integrator as integ
+
+    raw = generate_blue_noise()
+    noise = jnp.asarray((raw[..., :2].astype(np.float32) + 0.5) / 256.0)
+    monkeypatch.setattr(integ, "_tiles_ok", lambda w, r: True)
+    bufs = cornell_bufs.replace(num_nodes=max(cornell_bufs.num_nodes, 16385))
+    W, H = 128, 48
+
+    def frame():
+        rad, _ = trace_paths(bufs, jnp.asarray(CORNELL_CAM), W, H,
+                             jr.PRNGKey(3), bounces=3, noise_tex=noise,
+                             frame_count=jnp.int32(2))
+        return np.asarray(rad)
+
+    monkeypatch.setenv("LOUPIOTE_PACKED_PERMUTE", "0")  # per-column ref
+    want = frame()
+    assert want.mean() > 1e-4
+    monkeypatch.setenv("LOUPIOTE_PACKED_PERMUTE", "1")  # shipped default
+    np.testing.assert_array_equal(frame(), want)
+
+    # sort_max=1: still a valid estimator (pid routing intact), means close.
+    monkeypatch.setenv("LOUPIOTE_SORT_MAX", "1")
+    got = frame()
+    np.testing.assert_array_equal(got, want)  # same noise, same paths
+    monkeypatch.delenv("LOUPIOTE_SORT_MAX", raising=False)
