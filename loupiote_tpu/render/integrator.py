@@ -296,7 +296,7 @@ def trace_paths(scene, cam_to_world: jnp.ndarray, width: int, height: int,
             state, _ = shade_step(scene, state, hit, k_step, nee=nee,
                                   last=(bounce == bounces - 1),
                                   light_uv=light_uv, bsdf_uv=bsdf_uv,
-                                  lobe_u=lobe_u)
+                                  lobe_u=lobe_u, bounce=bounce)
 
     radiance = state.radiance
     if spp > 1:

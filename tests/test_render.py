@@ -358,3 +358,29 @@ def test_packed_permute_bit_identical(cornell_bufs, monkeypatch):
     got = frame()
     np.testing.assert_array_equal(got, want)  # same noise, same paths
     monkeypatch.delenv("LOUPIOTE_SORT_MAX", raising=False)
+
+
+def test_shadow_sort_bit_identical(cornell_bufs, monkeypatch):
+    """LOUPIOTE_SHADOW_SORT routes occlusion waves through their own
+    Morton order (packed gather + bool scatter-back) — blocked bits, and
+    therefore the frame, must be bit-identical."""
+    from loupiote_tpu.scene.blue_noise import generate_blue_noise
+
+    import loupiote_tpu.render.integrator as integ
+
+    raw = generate_blue_noise()
+    noise = jnp.asarray((raw[..., :2].astype(np.float32) + 0.5) / 256.0)
+    monkeypatch.setattr(integ, "_tiles_ok", lambda w, r: True)
+    bufs = cornell_bufs.replace(num_nodes=max(cornell_bufs.num_nodes, 16385))
+
+    def frame():
+        rad, _ = trace_paths(bufs, jnp.asarray(CORNELL_CAM), 128, 48,
+                             jr.PRNGKey(4), bounces=3, noise_tex=noise,
+                             frame_count=jnp.int32(5))
+        return np.asarray(rad)
+
+    monkeypatch.delenv("LOUPIOTE_SHADOW_SORT", raising=False)
+    want = frame()
+    assert want.mean() > 1e-4
+    monkeypatch.setenv("LOUPIOTE_SHADOW_SORT", "0")  # sort every bounce
+    np.testing.assert_array_equal(frame(), want)
