@@ -317,10 +317,17 @@ def _occluded_sorted(scene, o, d, dist, active):
 
 
 def _shadow_sort_bounce() -> int:
-    """Sort occlusion waves from this bounce index on (default: never)."""
+    """Sort occlusion waves from this bounce index on.
+
+    DEFAULT 0 (every bounce) after the frame-level device A/B: self-
+    sorting saved 144/214/238 ms at thresholds 2/1/0 on the 1611 ms
+    arch-260k frame (-14.8% at 0; artifacts/r5_device7/
+    frame_shadow_ab.log). LOUPIOTE_SHADOW_SORT=<B> restores a later
+    threshold (big values disable). Applies only to scenes past the
+    same num_nodes gate as the inter-bounce sort."""
     import os
 
-    return int(os.environ.get("LOUPIOTE_SHADOW_SORT", 1 << 30))
+    return int(os.environ.get("LOUPIOTE_SHADOW_SORT", 0))
 
 
 def shade_step(scene, state: BounceState, hit: Hit, key, nee: bool = True,
@@ -395,7 +402,8 @@ def shade_step(scene, state: BounceState, hit: Hit, key, nee: bool = True,
         # named_scope: lets the fused-frame trace split shadow traversal
         # out of the shading label (app/trace_parse.py).
         with jax.named_scope("shadow"):
-            if bounce >= _shadow_sort_bounce():
+            if bounce >= _shadow_sort_bounce() \
+                    and scene.num_nodes > 16384:
                 blocked = _occluded_sorted(scene, shadow_o, wi_l, dist_l,
                                            contrib_mask)
             else:
@@ -416,7 +424,8 @@ def shade_step(scene, state: BounceState, hit: Hit, key, nee: bool = True,
         shadow_o = surf.pos + surf.n_geom * EPS_OFFSET
         far = scene_exit_t(scene, shadow_o, wi_e)
         with jax.named_scope("shadow"):
-            if bounce >= _shadow_sort_bounce():
+            if bounce >= _shadow_sort_bounce() \
+                    and scene.num_nodes > 16384:
                 blocked_e = _occluded_sorted(scene, shadow_o, wi_e, far,
                                              mask_e)
             else:
@@ -452,7 +461,8 @@ def shade_step(scene, state: BounceState, hit: Hit, key, nee: bool = True,
         occl_t = jnp.where(g_lhit, g_t, far) if probe_term else g_t
         occl_active = ok & (g_lhit | probe_term)
         with jax.named_scope("shadow"):
-            if bounce >= _shadow_sort_bounce():
+            if bounce >= _shadow_sort_bounce() \
+                    and scene.num_nodes > 16384:
                 g_blocked = _occluded_sorted(scene, gro, wi, occl_t,
                                              occl_active)
             else:

@@ -379,8 +379,8 @@ def test_shadow_sort_bit_identical(cornell_bufs, monkeypatch):
                              frame_count=jnp.int32(5))
         return np.asarray(rad)
 
-    monkeypatch.delenv("LOUPIOTE_SHADOW_SORT", raising=False)
+    monkeypatch.setenv("LOUPIOTE_SHADOW_SORT", str(1 << 30))  # off (ref)
     want = frame()
     assert want.mean() > 1e-4
-    monkeypatch.setenv("LOUPIOTE_SHADOW_SORT", "0")  # sort every bounce
+    monkeypatch.setenv("LOUPIOTE_SHADOW_SORT", "0")  # shipped default
     np.testing.assert_array_equal(frame(), want)
