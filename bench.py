@@ -304,10 +304,12 @@ def section_textured():
 
 def section_instanced():
     """Two-level TLAS frame: merged hall BLAS + 200 instanced props
-    traversed by the scan TLAS (scene/instanced.py). Slower than the
-    flattened build by construction (each prop instance is a culled
-    sub-traversal of the whole wave); this measures that capability's
-    real price at 1080p."""
+    traversed by the candidate-gather TLAS (scene/instanced.py): per-ray
+    top-C nearest overlapping instance AABBs, C waves with per-ray
+    gathered world-to-object transforms, exact while_loop drain for >C
+    overlaps. Replaces the scan TLAS (one full wave PER INSTANCE: 57.1
+    s/frame, artifacts/r5_device4) — this measures the real price of
+    instancing at 1080p. LOUPIOTE_TLAS=scan restores the old path."""
     jax = _jax_setup()
     import jax.numpy as jnp
     import jax.random as jr

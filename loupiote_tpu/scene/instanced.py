@@ -22,6 +22,8 @@ rotates normals by the per-instance normal matrix (ops/shade.py).
 
 from __future__ import annotations
 
+import math
+import os
 from typing import Optional
 
 import jax
@@ -198,17 +200,243 @@ def _ray_box_overlap(ro, rd, lo, hi, t1):
     return (tfar >= jnp.maximum(tnear, T_MIN)) & (tnear <= t1)
 
 
+# --- Candidate-gather TLAS ------------------------------------------------
+#
+# The scan TLAS above TLAS_UNROLL_MAX pays one full-wave dispatch PER
+# INSTANCE (200 instances = 200 sequential waves: 57 s/frame at 1080p,
+# BENCH r5 window 4). The candidate TLAS instead computes, per ray, the C
+# nearest slab-overlapping instance AABBs of each unique mesh (measured on
+# the bench scene: mean 0.05 overlaps/ray, max 9 vs 200 boxes —
+# experiments/tlas_overlap_stats.py), then runs C waves in which EVERY RAY
+# traverses ITS OWN candidate instance: the world-to-object matrix rides a
+# per-ray packed (R,16) row gather (same trick as the packed sort permute)
+# and the shared per-mesh BLAS kernel runs once per candidate slot, not
+# once per instance. Rays are Morton-sorted, so the few active rays of a
+# slot cluster into few sub-packet cells and inactive cells retire in ~1
+# union step. Exactness for rays overlapping >C boxes comes from a
+# lax.while_loop drain (Pallas-free body) over a per-ray processed-bitmask
+# — at bench scale it runs 0 iterations.
+#
+# Reference bar: BLASArray + tinybvh traverse a real binned TLAS per
+# thread for arbitrary instance counts
+# (/root/reference/crates/lib/src/scene.rs:43-49); this is the TPU-shaped
+# equivalent (top level as data-parallel candidate selection, bottom level
+# as the existing shared-BLAS wave kernels).
+
+_TLAS_CHUNK = 16384  # rays per selection chunk: bounds (chunk, K) live
+
+
+def _tlas_c() -> int:
+    return max(int(os.environ.get("LOUPIOTE_TLAS_C", "12")), 1)
+
+
+def _chunk_tnear(ro_c, inv_c, lim_c, lo, hi):
+    """(chunk, K) entry-t of overlapping boxes, +inf where no overlap.
+
+    Axis-at-a-time so only (chunk, K) arrays are ever live (the
+    (chunk, K, 3) broadcast would be ~80 MB per chunk at K=200).
+    """
+    from ..ops.intersect import T_MIN
+
+    tn = jnp.full((ro_c.shape[0], lo.shape[0]), -jnp.inf, jnp.float32)
+    tf = jnp.full_like(tn, jnp.inf)
+    for a in range(3):
+        ta = (lo[None, :, a] - ro_c[:, a:a + 1]) * inv_c[:, a:a + 1]
+        tb = (hi[None, :, a] - ro_c[:, a:a + 1]) * inv_c[:, a:a + 1]
+        tn = jnp.maximum(tn, jnp.minimum(ta, tb))
+        tf = jnp.minimum(tf, jnp.maximum(ta, tb))
+    ov = (tf >= jnp.maximum(tn, T_MIN)) & (tn <= lim_c[:, None])
+    return jnp.where(ov, tn, jnp.inf)
+
+
+def _chunked(ro, rd, lim, fn):
+    """Run ``fn(ro_c, inv_c, lim_c) -> pytree`` over ray chunks."""
+    R = ro.shape[0]
+    inv = 1.0 / jnp.where(jnp.abs(rd) > 1e-20, rd, 1e-20)
+    ch = min(_TLAS_CHUNK, R)
+    pad = (-R) % ch
+    if pad:
+        ro = jnp.concatenate([ro, jnp.zeros((pad, 3), ro.dtype)])
+        inv = jnp.concatenate([inv, jnp.ones((pad, 3), inv.dtype)])
+        lim = jnp.concatenate([lim, jnp.full(pad, -jnp.inf, lim.dtype)])
+    n = (R + pad) // ch
+    if n == 1:
+        out = fn(ro, inv, lim)
+    else:
+        out = jax.lax.map(
+            lambda x: fn(*x),
+            (ro.reshape(n, ch, 3), inv.reshape(n, ch, 3),
+             lim.reshape(n, ch)))
+        out = jax.tree.map(
+            lambda x: x.reshape((n * ch,) + x.shape[2:]), out)
+    return jax.tree.map(lambda x: x[:R], out)
+
+
+def _select_topc(ro, rd, lim, lo, hi, C):
+    """Per-ray C nearest overlapping boxes: (ids (R,C) i32, tnear (R,C)
+    f32 [+inf invalid], n_overlap (R,) i32)."""
+    def fn(ro_c, inv_c, lim_c):
+        tn = _chunk_tnear(ro_c, inv_c, lim_c, lo, hi)
+        vals, ids = jax.lax.top_k(-tn, C)
+        return ids.astype(jnp.int32), -vals, \
+            jnp.isfinite(tn).sum(axis=1).astype(jnp.int32)
+
+    return _chunked(ro, rd, lim, fn)
+
+
+def _select_next(ro, rd, lim, lo, hi, processed):
+    """Nearest unprocessed overlapping box per ray: (id, tnear, valid)."""
+    K = lo.shape[0]
+    word = np.arange(K) // 32
+    bit = np.asarray(np.arange(K) % 32, np.uint32)
+
+    def fn(ro_c, inv_c, lim_c, proc_c):
+        tn = _chunk_tnear(ro_c, inv_c, lim_c, lo, hi)
+        done = (proc_c[:, word] >> bit[None, :]) & jnp.uint32(1)
+        tn = jnp.where(done == 0, tn, jnp.inf)
+        nid = jnp.argmin(tn, axis=1).astype(jnp.int32)
+        ntn = jnp.take_along_axis(tn, nid[:, None], axis=1)[:, 0]
+        return nid, ntn, jnp.isfinite(ntn)
+
+    # Thread the per-ray processed words through the same chunking.
+    R = ro.shape[0]
+    inv = 1.0 / jnp.where(jnp.abs(rd) > 1e-20, rd, 1e-20)
+    ch = min(_TLAS_CHUNK, R)
+    pad = (-R) % ch
+    W = processed.shape[1]
+    if pad:
+        ro = jnp.concatenate([ro, jnp.zeros((pad, 3), ro.dtype)])
+        inv = jnp.concatenate([inv, jnp.ones((pad, 3), inv.dtype)])
+        lim = jnp.concatenate([lim, jnp.full(pad, -jnp.inf, lim.dtype)])
+        processed = jnp.concatenate(
+            [processed, jnp.zeros((pad, W), processed.dtype)])
+    n = (R + pad) // ch
+    if n == 1:
+        out = fn(ro, inv, lim, processed)
+    else:
+        out = jax.lax.map(
+            lambda x: fn(*x),
+            (ro.reshape(n, ch, 3), inv.reshape(n, ch, 3),
+             lim.reshape(n, ch), processed.reshape(n, ch, W)))
+        out = jax.tree.map(
+            lambda x: x.reshape((n * ch,) + x.shape[2:]), out)
+    return jax.tree.map(lambda x: x[:R], out)
+
+
+def _set_bits(processed, ids, on):
+    """OR bit ``ids`` (R,) into the (R, W) uint32 mask where ``on``."""
+    W = processed.shape[1]
+    wsel = ids // 32
+    bits = jnp.where(on, jnp.left_shift(jnp.uint32(1),
+                                        (ids % 32).astype(jnp.uint32)),
+                     jnp.uint32(0))
+    onehot = wsel[:, None] == jnp.arange(W, dtype=jnp.int32)[None, :]
+    return processed | jnp.where(onehot, bits[:, None], jnp.uint32(0))
+
+
+def _candidate_group(bufs, slot, idx, carry, ro, rd, act, any_hit):
+    """Traverse one unique-mesh instance group via candidate waves.
+
+    ``carry`` = (best_t, best_tri, best_inst); for any-hit best_t stays the
+    caller's tmax (the blocked flag lives in best_tri >= 0).
+    """
+    from ..ops.intersect import PACKET_SIZE, intersect_any, intersect_packets
+
+    best_t, best_tri, best_inst = carry
+    R = ro.shape[0]
+    Ks = len(idx)
+    C = min(_tlas_c(), Ks)
+    gids = jnp.asarray(np.asarray(idx, np.int32))  # (Ks,) global inst ids
+    lo = bufs.inst_aabb_lo[gids]
+    hi = bufs.inst_aabb_hi[gids]
+    w2o_tbl = bufs.inst_w2o[gids].reshape(Ks, 16)
+    tri_base = bufs.inst_tri_base[int(idx[0])]  # same mesh => same base
+
+    lim0 = jnp.where(act, best_t, -jnp.inf)
+    ids, tns, n_ov = _select_topc(ro, rd, lim0, lo, hi, C)
+
+    def wave(carry, sel_id, sel_tn, pallas_ok):
+        best_t, best_tri, best_inst = carry
+        lane = act & jnp.isfinite(sel_tn) & (sel_tn < best_t)
+        if any_hit:
+            lane = lane & (best_tri < 0)  # already blocked: skip
+        rows = w2o_tbl[jnp.maximum(sel_id, 0)]  # (R, 16) packed gather
+        M = rows.reshape(-1, 4, 4)
+        ro_o = jnp.einsum("rij,rj->ri", M[:, :3, :3], ro) + M[:, :3, 3]
+        rd_o = jnp.einsum("rij,rj->ri", M[:, :3, :3], rd)
+        if pallas_ok:
+            hit = intersect_any(bufs.blas[slot], ro_o, rd_o, tmax=best_t,
+                                active=lane, any_hit=any_hit)
+        else:
+            # Pallas-free body for the while_loop drain (a Pallas call in
+            # a scan region crashed XLA:TPU priority fusion; see above).
+            hit = intersect_packets(bufs.blas[slot], ro_o, rd_o,
+                                    tmax=best_t, active=lane,
+                                    any_hit=any_hit,
+                                    packet_size=math.gcd(R, PACKET_SIZE))
+        if any_hit:
+            win = hit.tri >= 0
+        else:
+            win = (hit.tri >= 0) & (hit.t < best_t)
+            best_t = jnp.where(win, hit.t, best_t)
+        best_tri = jnp.where(win, hit.tri + tri_base, best_tri)
+        best_inst = jnp.where(win, gids[jnp.maximum(sel_id, 0)], best_inst)
+        return best_t, best_tri, best_inst
+
+    for c in range(C):
+        carry = wave(carry, ids[:, c], tns[:, c], True)
+
+    if C >= Ks:
+        return carry
+
+    # Exact drain for rays overlapping more than C boxes (bench scene:
+    # never — max 9 overlaps vs C=12; synthetic dense scenes: a few rays).
+    # An unprocessed candidate can only matter while its box entry-t beats
+    # the carried limit (closest: current best_t; any-hit: tmax, and only
+    # while unblocked).
+    best_t, best_tri, best_inst = carry
+    W = (Ks + 31) // 32
+    processed = jnp.zeros((R, W), jnp.uint32)
+    for c in range(C):
+        processed = _set_bits(processed, ids[:, c], jnp.isfinite(tns[:, c]))
+    pend = act & (n_ov > C) & (tns[:, C - 1] < best_t)
+    if any_hit:
+        pend = pend & (best_tri < 0)
+
+    def body(state):
+        _, best_t, best_tri, best_inst, processed = state
+        lim = jnp.where(act, best_t, -jnp.inf)
+        if any_hit:
+            lim = jnp.where(best_tri < 0, lim, -jnp.inf)
+        nid, ntn, valid = _select_next(ro, rd, lim, lo, hi, processed)
+        processed = _set_bits(processed, nid, valid)
+        c2 = wave((best_t, best_tri, best_inst),
+                  jnp.where(valid, nid, 0),
+                  jnp.where(valid, ntn, jnp.inf), False)
+        return (jnp.any(valid),) + c2 + (processed,)
+
+    state = jax.lax.while_loop(
+        lambda s: s[0], body,
+        (jnp.any(pend), best_t, best_tri, best_inst, processed))
+    return state[1], state[2], state[3]
+
+
 def intersect_instanced(bufs: SceneBuffers, ro, rd, tmax=None, active=None,
                         any_hit: bool = False):
     """TLAS loop: per instance, transform rays to object space and run the
     mesh kernels; the running best-t bounds each later instance.
 
-    Two execution shapes sharing one body:
+    Execution shapes sharing one body:
       - few instances: static Python unroll (the original path);
-      - many instances: one ``lax.scan`` per unique mesh over that mesh's
-        instance table, with a per-instance world-AABB slab cull masking
-        rays before they enter the BLAS (rays whose sub-packet misses the
-        box retire in ~1 kernel step). Compiled size is O(unique meshes).
+      - many instances (default, ``LOUPIOTE_TLAS=cand``): the
+        candidate-gather TLAS — per-ray top-C nearest overlapping
+        instance AABBs, C waves with per-ray gathered world-to-object
+        transforms, exact while_loop drain for >C overlaps. Compiled
+        size is O(unique meshes * C); wave count is C, not K.
+      - ``LOUPIOTE_TLAS=scan`` (CPU-only debug): one ``lax.scan`` per
+        unique mesh over that mesh's instance table with per-instance
+        AABB culls. MISCOMPILES on XLA:TPU — see the dispatch comment
+        below — and costs one full wave per instance.
     """
     from ..ops.intersect import INVALID_TRI, T_FAR, Hit, intersect_any
 
@@ -271,6 +499,8 @@ def intersect_instanced(bufs: SceneBuffers, ro, rd, tmax=None, active=None,
         # values, taking the crashing fusion candidates off the table.
         ro, rd, act, best_t = jax.lax.optimization_barrier(
             (ro, rd, act, best_t))
+        carry = (best_t, best_tri, best_inst)
+        mode = os.environ.get("LOUPIOTE_TLAS", "cand")
         slots = np.asarray(bufs.inst_mesh)
         for slot in sorted(set(bufs.inst_mesh)):
             idx = np.nonzero(slots == slot)[0].astype(np.int32)
@@ -285,6 +515,20 @@ def intersect_instanced(bufs: SceneBuffers, ro, rd, tmax=None, active=None,
                                   bufs.inst_tri_base[k], k,
                                   (bufs.inst_aabb_lo[k],
                                    bufs.inst_aabb_hi[k]))
+                continue
+            if mode != "scan":
+                # Candidate-gather TLAS: C waves total (per-ray top-C
+                # nearest boxes + per-ray w2o gather) instead of one wave
+                # per instance — 200 instances cost C=12 waves, not 200.
+                # Also the only TPU-SAFE many-instance path: the scan mode
+                # below MISCOMPILES on XLA:TPU (7/1024 rays with false
+                # hits AND misses refuted by float64 ground truth —
+                # artifacts/r5_device8/tlas_{mismatch_tpu,groundtruth}.log;
+                # same priority-fusion region that SIGILLed pre-barrier).
+                # scan remains correct on CPU (tests/test_instanced.py)
+                # and is kept only as an off-TPU debug fallback.
+                carry = _candidate_group(bufs, slot, idx, carry, ro, rd,
+                                         act, any_hit)
                 continue
             ids = jnp.asarray(idx)
 

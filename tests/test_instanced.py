@@ -211,6 +211,55 @@ def test_scan_tlas_200_instances(rng):
     assert not (np.asarray(after.inst) == 7).any()
 
 
+def test_candidate_tlas_drain(rng, monkeypatch):
+    """Force the candidate TLAS's exact drain loop: 20 heavily-overlapping
+    instances with C=1 means almost every ray overlaps more boxes than the
+    unrolled candidate waves cover, so correctness rests entirely on the
+    while_loop drain (closest AND any-hit)."""
+    from loupiote_tpu.ops.intersect import intersect_any, occluded
+
+    rngd = np.random.default_rng(7)
+    scene = Scene.default()
+    scene.meshes.append(_mesh(rngd, n=40, spread=1.5))
+    for _ in range(20):  # all near the origin: AABBs overlap heavily
+        off = (rngd.random(3) - 0.5) * 2.0
+        scene.instances.append(Instance(
+            mesh_index=0, model_to_world=_xlate(*off), material_index=0))
+    flat = build_scene_buffers(scene)
+    inst = build_instanced_buffers(scene)
+
+    ro = ((rngd.random((256, 3)) - 0.5) * 8).astype(np.float32)
+    rd = (rngd.random((256, 3)) - 0.5).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    ro, rd = jnp.asarray(ro), jnp.asarray(rd)
+    want = intersect_rays(flat, ro, rd)
+
+    monkeypatch.setenv("LOUPIOTE_TLAS_C", "1")
+    got = intersect_any(inst, ro, rd)
+    wh = np.asarray(want.tri) >= 0
+    assert (wh == (np.asarray(got.tri) >= 0)).all()
+    assert np.allclose(np.asarray(got.t)[wh], np.asarray(want.t)[wh],
+                       rtol=1e-4, atol=1e-4)
+
+    dist = jnp.full(ro.shape[0], 4.0)
+    a = np.asarray(occluded(flat, ro, rd, dist))
+    b = np.asarray(occluded(inst, ro, rd, dist))
+    assert (a == b).all()
+
+    # And cand-vs-scan agreement at a sane C (the two many-instance modes
+    # must be interchangeable).
+    monkeypatch.setenv("LOUPIOTE_TLAS_C", "12")
+    cand = intersect_any(inst, ro, rd)
+    monkeypatch.setenv("LOUPIOTE_TLAS", "scan")
+    scan = intersect_any(inst, ro, rd)
+    # tri may differ where two instances tie at the same t (visit order
+    # differs between the modes); hit mask and t must agree.
+    sh = np.asarray(scan.tri) >= 0
+    assert (sh == (np.asarray(cand.tri) >= 0)).all()
+    assert np.allclose(np.asarray(scan.t)[sh], np.asarray(cand.t)[sh],
+                       rtol=1e-4, atol=1e-4)
+
+
 def test_instanced_render_smoke(scenes, rng):
     """Full render through the Renderer with instanced buffers: normals
     rotate per instance and the image statistically matches flattened."""
